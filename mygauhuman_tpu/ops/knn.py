@@ -1,0 +1,97 @@
+"""Brute-force blocked k-nearest-neighbors on TPU.
+
+One generic op replaces all three CUDA neighbors components of the reference
+(SURVEY.md §2.2-2.3): simple-knn `distCUDA2` (mean-3NN distance for scale
+init), and the KNN_CUDA wheel instances k=1 (Gaussian -> nearest SMPL vertex),
+k=2 (KL densify/merge pairs), k=3 (albedo/roughness smoothness).
+
+Design: for N_queries <= ~100k and N_refs <= ~100k a tiled distance matrix
+with `jax.lax.top_k` saturates the MXU (the [Q_blk, R] distance computation is
+one matmul: ||q-r||^2 = ||q||^2 + ||r||^2 - 2 q.r). No Morton sort needed at
+these sizes; XLA pipelines the query blocks.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _dist2_block(q: jnp.ndarray, refs: jnp.ndarray) -> jnp.ndarray:
+    """Squared euclidean distances [Qb, R] via one MXU matmul."""
+    qn = jnp.sum(q * q, axis=-1, keepdims=True)          # [Qb, 1]
+    rn = jnp.sum(refs * refs, axis=-1)[None, :]           # [1, R]
+    cross = q @ refs.T                                    # [Qb, R] (MXU)
+    d2 = qn + rn - 2.0 * cross
+    return jnp.maximum(d2, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "exclude_self", "block_size"))
+def knn(
+    queries: jnp.ndarray,
+    refs: jnp.ndarray,
+    k: int,
+    ref_mask: jnp.ndarray | None = None,
+    exclude_self: bool = False,
+    block_size: int = 4096,
+):
+    """k nearest refs for each query.
+
+    Args:
+      queries: [Q, 3] float.
+      refs: [R, 3] float.
+      k: static neighbor count.
+      ref_mask: optional [R] bool; masked-out refs get +inf distance (used for
+        fixed-capacity Gaussian arrays with an alive mask).
+      exclude_self: mask the zero-distance self match (for self-KNN where
+        queries is refs). Implemented positionally (query i excludes ref i),
+        which is exact when queries and refs are the same array.
+      block_size: query tile size.
+
+    Returns:
+      (dists2 [Q, k], idx [Q, k] int32) — squared distances, ascending.
+    """
+    Q = queries.shape[0]
+    R = refs.shape[0]
+    queries = queries.astype(jnp.float32)
+    refs = refs.astype(jnp.float32)
+
+    bs = min(block_size, Q)
+    pad = (-Q) % bs
+    qp = jnp.pad(queries, ((0, pad), (0, 0)))
+    n_blocks = qp.shape[0] // bs
+
+    inf = jnp.float32(jnp.inf)
+
+    def per_block(args):
+        q, qidx0 = args
+        d2 = _dist2_block(q, refs)  # [bs, R]
+        if ref_mask is not None:
+            d2 = jnp.where(ref_mask[None, :], d2, inf)
+        if exclude_self:
+            rows = jnp.arange(bs)[:, None] + qidx0
+            cols = jnp.arange(R)[None, :]
+            d2 = jnp.where(rows == cols, inf, d2)
+        neg_d, idx = jax.lax.top_k(-d2, k)
+        return -neg_d, idx.astype(jnp.int32)
+
+    q_blocks = qp.reshape(n_blocks, bs, 3)
+    starts = jnp.arange(n_blocks) * bs
+    d2b, idxb = jax.lax.map(per_block, (q_blocks, starts))
+    d2 = d2b.reshape(-1, k)[:Q]
+    idx = idxb.reshape(-1, k)[:Q]
+    return d2, idx
+
+
+def mean_knn_dist2(
+    points: jnp.ndarray, mask: jnp.ndarray | None = None, k: int = 3
+) -> jnp.ndarray:
+    """Mean squared distance to the k nearest *other* points, per point.
+
+    Parity: simple-knn `distCUDA2` (spatial.cu:14-26) — used for the initial
+    log-scale of each Gaussian (scene/gaussian_model.py:225-226). Clamped to
+    >= 1e-7 like the reference's clamp_min.
+    """
+    d2, _ = knn(points, points, k=k, ref_mask=mask, exclude_self=True)
+    return jnp.maximum(jnp.mean(d2, axis=-1), 1e-7)

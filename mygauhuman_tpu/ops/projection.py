@@ -1,0 +1,171 @@
+"""Per-Gaussian projection / covariance math (the rasterizer "preprocess" stage).
+
+Embarrassingly parallel over Gaussians — on TPU this is plain vectorized jnp
+that XLA fuses into a handful of VPU loops; no Pallas needed. fp32 throughout
+(the +0.3 low-pass, epsilons and clamps are load-bearing for parity).
+
+Math parity targets (formulas transcribed from the reference CUDA, not code):
+  - computeCov2D (EWA splatting):     forward.cu:77-116
+  - computeCov3D (scale+quat -> Sigma): forward.cu:121-152 (we use the
+    normalized-quaternion Python convention, SURVEY.md Appendix A)
+  - preprocess (project, conic, radius, tile rect): forward.cu:180-256
+  - frustum cull (z <= 0.2):          auxiliary.h:139-164
+  - ndc2Pix:                          auxiliary.h:41-44
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from mygauhuman_tpu.utils.transforms import covariance_from_scaling_rotation, strip_symmetric
+
+
+class ProjectedGaussians(NamedTuple):
+    """Per-Gaussian screen-space quantities (all [N, ...], fp32)."""
+
+    means2d: jnp.ndarray      # [N, 2] pixel coords
+    depths: jnp.ndarray       # [N] camera-space z
+    conics: jnp.ndarray       # [N, 3] inverse 2D covariance (a, b, c)
+    radii: jnp.ndarray        # [N] int32 screen radius in pixels (0 = culled)
+    cov2d: jnp.ndarray        # [N, 3] 2D covariance (xx, xy, yy) before inversion
+    visible: jnp.ndarray      # [N] bool: passes frustum + det + radius tests
+
+
+def ndc2pix(v: jnp.ndarray, size: int) -> jnp.ndarray:
+    return ((v + 1.0) * size - 1.0) * 0.5
+
+
+def project_points(means3d: jnp.ndarray, full_proj: jnp.ndarray) -> jnp.ndarray:
+    """World points [N,3] through a 4x4 projection; returns NDC [N,3]."""
+    ph = means3d @ full_proj[:3, :3].T + full_proj[:3, 3]
+    pw = means3d @ full_proj[3, :3].T + full_proj[3, 3]
+    return ph / (pw[..., None] + 1e-7)
+
+
+def compute_cov2d(
+    means3d: jnp.ndarray,
+    cov3d6: jnp.ndarray,
+    w2c: jnp.ndarray,
+    focal_x: float,
+    focal_y: float,
+    tan_fovx: float,
+    tan_fovy: float,
+) -> jnp.ndarray:
+    """EWA projection of the 3D covariance to 2D screen space.
+
+    cov2d = J W Sigma W^T J^T + 0.3 I, with J the perspective Jacobian
+    evaluated at the (fov-clamped) camera-space point.
+
+    Args:
+      means3d: [N, 3] world means.
+      cov3d6: [N, 6] symmetric covariance (xx, xy, xz, yy, yz, zz).
+      w2c: [4, 4] world->camera (column-vector convention).
+    Returns:
+      [N, 3] (xx, xy, yy).
+    """
+    t = means3d @ w2c[:3, :3].T + w2c[:3, 3]
+    tz = t[..., 2]
+    limx = 1.3 * tan_fovx
+    limy = 1.3 * tan_fovy
+    tx = jnp.clip(t[..., 0] / tz, -limx, limx) * tz
+    ty = jnp.clip(t[..., 1] / tz, -limy, limy) * tz
+
+    inv_tz = 1.0 / tz
+    inv_tz2 = inv_tz * inv_tz
+    # J: [N, 2, 3]
+    zeros = jnp.zeros_like(tz)
+    J = jnp.stack(
+        [
+            jnp.stack([focal_x * inv_tz, zeros, -focal_x * tx * inv_tz2], axis=-1),
+            jnp.stack([zeros, focal_y * inv_tz, -focal_y * ty * inv_tz2], axis=-1),
+        ],
+        axis=-2,
+    )
+    W = w2c[:3, :3]  # [3, 3]
+    T = J @ W  # [N, 2, 3]
+
+    xx, xy, xz, yy, yz, zz = (cov3d6[..., i] for i in range(6))
+    Sigma = jnp.stack(
+        [
+            jnp.stack([xx, xy, xz], axis=-1),
+            jnp.stack([xy, yy, yz], axis=-1),
+            jnp.stack([xz, yz, zz], axis=-1),
+        ],
+        axis=-2,
+    )  # [N, 3, 3]
+    cov = T @ Sigma @ jnp.swapaxes(T, -1, -2)  # [N, 2, 2]
+    return jnp.stack(
+        [cov[..., 0, 0] + 0.3, cov[..., 0, 1], cov[..., 1, 1] + 0.3], axis=-1
+    )
+
+
+def compute_cov3d(
+    scaling: jnp.ndarray,
+    quat: jnp.ndarray,
+    scaling_modifier: float = 1.0,
+    transform: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """[N,3] scales (activated), [N,4] quats -> [N,6] symmetric covariance."""
+    return strip_symmetric(
+        covariance_from_scaling_rotation(scaling, quat, scaling_modifier, transform)
+    )
+
+
+def preprocess(
+    means3d: jnp.ndarray,
+    cov3d6: jnp.ndarray,
+    w2c: jnp.ndarray,
+    full_proj: jnp.ndarray,
+    image_width: int,
+    image_height: int,
+    tan_fovx: float,
+    tan_fovy: float,
+) -> ProjectedGaussians:
+    """Project Gaussians to screen space, computing conics and radii.
+
+    Culled Gaussians (behind near plane z<=0.2, degenerate cov) get radius 0
+    and visible=False; downstream binning drops them. Static shapes: nothing
+    is compacted, parity with the CUDA early-returns is via masks.
+    """
+    means3d = means3d.astype(jnp.float32)
+    cov3d6 = cov3d6.astype(jnp.float32)
+
+    focal_x = image_width / (2.0 * tan_fovx)
+    focal_y = image_height / (2.0 * tan_fovy)
+
+    p_view_z = means3d @ w2c[2, :3].T + w2c[2, 3]
+    in_front = p_view_z > 0.2
+
+    p_ndc = project_points(means3d, full_proj)
+    means2d = jnp.stack(
+        [ndc2pix(p_ndc[..., 0], image_width), ndc2pix(p_ndc[..., 1], image_height)],
+        axis=-1,
+    )
+
+    cov2d = compute_cov2d(means3d, cov3d6, w2c, focal_x, focal_y, tan_fovx, tan_fovy)
+    det = cov2d[..., 0] * cov2d[..., 2] - cov2d[..., 1] * cov2d[..., 1]
+    det_ok = det != 0.0
+    det_safe = jnp.where(det_ok, det, 1.0)
+    det_inv = 1.0 / det_safe
+    conics = jnp.stack(
+        [cov2d[..., 2] * det_inv, -cov2d[..., 1] * det_inv, cov2d[..., 0] * det_inv],
+        axis=-1,
+    )
+
+    mid = 0.5 * (cov2d[..., 0] + cov2d[..., 2])
+    disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    lambda1 = mid + disc
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 0.0)))
+
+    visible = in_front & det_ok & (radius_f > 0.0)
+    radii = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
+
+    return ProjectedGaussians(
+        means2d=means2d,
+        depths=p_view_z,
+        conics=conics,
+        radii=radii,
+        cov2d=cov2d,
+        visible=visible,
+    )

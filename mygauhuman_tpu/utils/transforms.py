@@ -1,0 +1,153 @@
+"""Rotation / rigid-transform helpers (pure jnp, fp32).
+
+Math parity targets (formulas transcribed, not code):
+  - quaternion -> rotation: reference forward.cu:118-152 (computeCov3D) and
+    utils/general_utils.py build_rotation (normalized-quaternion convention —
+    we follow the Python side, see SURVEY.md Appendix A).
+  - Rodrigues: reference scene/gaussian_model.py:894-921 (batch_rodrigues_torch)
+    and nets/mlp_delta_body_pose.py RodriguesModule (1e-5-regularized variant).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def normalize(v: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=axis, keepdims=True), eps)
+
+
+def quat_to_rotmat(q: jnp.ndarray, normalize_quat: bool = True) -> jnp.ndarray:
+    """Quaternion (w, x, y, z) [..., 4] -> rotation matrix [..., 3, 3]."""
+    if normalize_quat:
+        q = normalize(q)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1.0 - 2.0 * (y * y + z * z)
+    r01 = 2.0 * (x * y - w * z)
+    r02 = 2.0 * (x * z + w * y)
+    r10 = 2.0 * (x * y + w * z)
+    r11 = 1.0 - 2.0 * (x * x + z * z)
+    r12 = 2.0 * (y * z - w * x)
+    r20 = 2.0 * (x * z - w * y)
+    r21 = 2.0 * (y * z + w * x)
+    r22 = 1.0 - 2.0 * (x * x + y * y)
+    return jnp.stack(
+        [
+            jnp.stack([r00, r01, r02], axis=-1),
+            jnp.stack([r10, r11, r12], axis=-1),
+            jnp.stack([r20, r21, r22], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def rodrigues(rvec: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """Axis-angle [..., 3] -> rotation matrix [..., 3, 3].
+
+    Matches reference batch_rodrigues_torch: angle = ||r + eps||.
+    """
+    angle = jnp.linalg.norm(rvec + eps, axis=-1, keepdims=True)
+    axis = rvec / angle
+    c = jnp.cos(angle)[..., None]
+    s = jnp.sin(angle)[..., None]
+    rx, ry, rz = axis[..., 0], axis[..., 1], axis[..., 2]
+    zeros = jnp.zeros_like(rx)
+    K = jnp.stack(
+        [
+            jnp.stack([zeros, -rz, ry], axis=-1),
+            jnp.stack([rz, zeros, -rx], axis=-1),
+            jnp.stack([-ry, rx, zeros], axis=-1),
+        ],
+        axis=-2,
+    )
+    eye = jnp.eye(3, dtype=rvec.dtype)
+    return eye + s * K + (1.0 - c) * (K @ K)
+
+
+def rodrigues_mlp(rvec: jnp.ndarray) -> jnp.ndarray:
+    """Rodrigues with theta = sqrt(1e-5 + ||r||^2) regularization.
+
+    Matches the pose-refiner MLP head (nets/mlp_delta_body_pose.py:172-198):
+    near r = 0 it yields a rotation close to (but not exactly) identity, which
+    combined with the tiny last-layer init makes the initial correction ~ I.
+    """
+    theta = jnp.sqrt(1e-5 + jnp.sum(rvec**2, axis=-1, keepdims=True))
+    axis = rvec / theta
+    x, y, z = axis[..., 0], axis[..., 1], axis[..., 2]
+    one = jnp.ones_like(x)
+    cth = jnp.cos(theta)[..., 0]
+    sth = jnp.sin(theta)[..., 0]
+    # row-major entries, mirroring the analytic axis-angle matrix
+    r00 = x * x + (one - x * x) * cth
+    r01 = x * y * (one - cth) - z * sth
+    r02 = x * z * (one - cth) + y * sth
+    r10 = x * y * (one - cth) + z * sth
+    r11 = y * y + (one - y * y) * cth
+    r12 = y * z * (one - cth) - x * sth
+    r20 = x * z * (one - cth) - y * sth
+    r21 = y * z * (one - cth) + x * sth
+    r22 = z * z + (one - z * z) * cth
+    return jnp.stack(
+        [
+            jnp.stack([r00, r01, r02], axis=-1),
+            jnp.stack([r10, r11, r12], axis=-1),
+            jnp.stack([r20, r21, r22], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def build_scaling_rotation(scaling: jnp.ndarray, quat: jnp.ndarray) -> jnp.ndarray:
+    """L = R @ diag(s): [..., 3] x [..., 4] -> [..., 3, 3]."""
+    R = quat_to_rotmat(quat)
+    return R * scaling[..., None, :]
+
+
+def covariance_from_scaling_rotation(
+    scaling: jnp.ndarray,
+    quat: jnp.ndarray,
+    scaling_modifier: float = 1.0,
+    transform: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """World covariance Sigma = L L^T, optionally conjugated by an LBS rotation.
+
+    Parity: scene/gaussian_model.py:35-42 (build_covariance_from_scaling_rotation)
+    — returns the full symmetric [..., 3, 3] matrix (use strip_symmetric for the
+    6-vector form the rasterizer consumes).
+    """
+    L = build_scaling_rotation(scaling_modifier * scaling, quat)
+    cov = L @ jnp.swapaxes(L, -1, -2)
+    if transform is not None:
+        cov = transform @ cov @ jnp.swapaxes(transform, -1, -2)
+    return cov
+
+
+def strip_symmetric(cov: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3, 3] symmetric -> [..., 6] (xx, xy, xz, yy, yz, zz)."""
+    return jnp.stack(
+        [
+            cov[..., 0, 0],
+            cov[..., 0, 1],
+            cov[..., 0, 2],
+            cov[..., 1, 1],
+            cov[..., 1, 2],
+            cov[..., 2, 2],
+        ],
+        axis=-1,
+    )
+
+
+def unstrip_symmetric(c6: jnp.ndarray) -> jnp.ndarray:
+    """[..., 6] -> [..., 3, 3] symmetric."""
+    xx, xy, xz, yy, yz, zz = (c6[..., i] for i in range(6))
+    return jnp.stack(
+        [
+            jnp.stack([xx, xy, xz], axis=-1),
+            jnp.stack([xy, yy, yz], axis=-1),
+            jnp.stack([xz, yz, zz], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def inverse_sigmoid(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.log(x / (1.0 - x))
