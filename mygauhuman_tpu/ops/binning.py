@@ -1,0 +1,150 @@
+"""Tile binning: build depth-sorted, fixed-capacity per-tile Gaussian lists.
+
+TPU-first replacement for the reference's dynamic duplicate-with-keys + cub
+radix sort pipeline (rasterizer_impl.cu:198-341, SURVEY.md §2.1): XLA demands
+static shapes, so instead of a data-dependent `num_rendered` instance list we
+use two static capacities:
+
+  * S = max_tiles_per_gaussian — each Gaussian emits up to S (tile, depth)
+    instances covering its screen rect (densify keeps splats small; rects are
+    1-4 tiles in practice). Truncation is counted, never silent.
+  * K = tile_capacity — each tile keeps its K nearest-in-depth instances.
+    Because blending is front-to-back with a T < 1e-4 early stop, dropping
+    the deepest tail is the principled truncation.
+
+The (tile, depth) ordering is one lexicographic `jax.lax.sort` with
+num_keys=2 — no 64-bit key packing needed (the CUDA trick of
+`tileID<<32 | float_bits(depth)` is replaced by a 2-key sort, which is also
+exact for negative depths). Per-tile ranges come from two searchsorteds.
+
+Everything here is O(N·S log) sort + O(T·K) gather: static, fusable, and
+shardable over a `gaussians` mesh axis (sort becomes a sharded sort or a
+gather of per-shard lists — see parallel/).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class TileLists(NamedTuple):
+    """Depth-sorted per-tile Gaussian index lists (static shapes)."""
+
+    idx: jnp.ndarray        # [T, K] int32 Gaussian ids, front-to-back
+    valid: jnp.ndarray      # [T, K] bool
+    counts: jnp.ndarray     # [T] int32 instances per tile (pre-truncation, capped at N*S)
+    overflow_tiles: jnp.ndarray   # int32: total instances dropped by K truncation
+    overflow_gauss: jnp.ndarray   # int32: total instances dropped by S truncation
+
+
+def tile_dims(width: int, height: int, tile_w: int, tile_h: int) -> tuple[int, int]:
+    return -(-width // tile_w), -(-height // tile_h)
+
+
+def gaussian_tile_rects(
+    means2d: jnp.ndarray,
+    radii: jnp.ndarray,
+    tw: int,
+    th: int,
+    tile_w: int,
+    tile_h: int,
+):
+    """Per-Gaussian covered tile rect [min_x, min_y, max_x, max_y) (exclusive max).
+
+    Parity: auxiliary.h getRect (floor((p-r)/B) .. floor((p+r+B-1)/B), clamped).
+    """
+    r = radii.astype(jnp.float32)
+    x, y = means2d[..., 0], means2d[..., 1]
+    min_x = jnp.clip(jnp.floor((x - r) / tile_w), 0, tw).astype(jnp.int32)
+    min_y = jnp.clip(jnp.floor((y - r) / tile_h), 0, th).astype(jnp.int32)
+    max_x = jnp.clip(jnp.floor((x + r + tile_w - 1) / tile_w), 0, tw).astype(jnp.int32)
+    max_y = jnp.clip(jnp.floor((y + r + tile_h - 1) / tile_h), 0, th).astype(jnp.int32)
+    return min_x, min_y, max_x, max_y
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "tile_w", "tile_h",
+        "max_tiles_per_gaussian", "tile_capacity",
+    ),
+)
+def bin_gaussians(
+    means2d: jnp.ndarray,
+    radii: jnp.ndarray,
+    depths: jnp.ndarray,
+    visible: jnp.ndarray,
+    *,
+    width: int,
+    height: int,
+    tile_w: int = 16,
+    tile_h: int = 16,
+    max_tiles_per_gaussian: int = 16,
+    tile_capacity: int = 1024,
+) -> TileLists:
+    """Build depth-sorted per-tile lists. All shapes static.
+
+    Args:
+      means2d: [N, 2] pixel-space centers.
+      radii:   [N] int32 screen radii (0 = culled).
+      depths:  [N] camera-space z.
+      visible: [N] bool.
+    """
+    N = means2d.shape[0]
+    S = max_tiles_per_gaussian
+    K = tile_capacity
+    tw, th = tile_dims(width, height, tile_w, tile_h)
+    T = tw * th
+
+    min_x, min_y, max_x, max_y = gaussian_tile_rects(
+        means2d, radii, tw, th, tile_w, tile_h
+    )
+    rw = max_x - min_x
+    rh = max_y - min_y
+    touched = rw * rh
+    live = visible & (radii > 0) & (touched > 0)
+    overflow_gauss = jnp.sum(
+        jnp.where(live, jnp.maximum(touched - S, 0), 0)
+    ).astype(jnp.int32)
+
+    # Enumerate up to S covered tiles per Gaussian: slot s -> (dx, dy) in rect.
+    s = jnp.arange(S, dtype=jnp.int32)[None, :]          # [1, S]
+    rw_safe = jnp.maximum(rw, 1)[:, None]                 # [N, 1]
+    dx = s % rw_safe
+    dy = s // rw_safe
+    slot_ok = live[:, None] & (s < jnp.minimum(touched, S)[:, None])
+    tile_id = (min_y[:, None] + dy) * tw + (min_x[:, None] + dx)   # [N, S]
+    tile_id = jnp.where(slot_ok, tile_id, T).astype(jnp.int32)     # sentinel T
+
+    flat_tile = tile_id.reshape(-1)
+    flat_depth = jnp.broadcast_to(depths[:, None], (N, S)).reshape(-1).astype(jnp.float32)
+    flat_gid = jnp.broadcast_to(
+        jnp.arange(N, dtype=jnp.int32)[:, None], (N, S)
+    ).reshape(-1)
+
+    # Lexicographic (tile, depth) sort — front-to-back within each tile.
+    sorted_tile, _, sorted_gid = jax.lax.sort(
+        (flat_tile, flat_depth, flat_gid), num_keys=2
+    )
+
+    tiles = jnp.arange(T, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_tile, tiles, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_tile, tiles, side="right").astype(jnp.int32)
+    counts = ends - starts
+
+    k = jnp.arange(K, dtype=jnp.int32)[None, :]                     # [1, K]
+    pos = jnp.clip(starts[:, None] + k, 0, N * S - 1)
+    idx = sorted_gid[pos]                                           # [T, K]
+    valid = k < counts[:, None]
+    overflow_tiles = jnp.sum(jnp.maximum(counts - K, 0)).astype(jnp.int32)
+
+    return TileLists(
+        idx=idx,
+        valid=valid,
+        counts=counts,
+        overflow_tiles=overflow_tiles,
+        overflow_gauss=overflow_gauss,
+    )
