@@ -1,0 +1,189 @@
+"""Scene-model tests: init, densify/prune/KL slot mechanics, PLY round-trip.
+
+Mirrors the reference's implicit invariants (scene/gaussian_model.py):
+clone copies small high-grad Gaussians, split resamples big ones and kills
+the original, prune drops low-opacity / far-from-SMPL points, opacity reset
+clamps to <= 0.01 — re-expressed over fixed-capacity alive-masked arrays.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mygauhuman_tpu.models import gaussians as G
+from mygauhuman_tpu.models.io import load_ply, save_ply
+
+
+def make_state(n=100, cap=None, seed=0):
+    rng = np.random.RandomState(seed)
+    pts = rng.randn(n, 3).astype(np.float32)
+    cols = rng.rand(n, 3).astype(np.float32)
+    nrm = rng.randn(n, 3).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    return G.create_from_pcd(pts, cols, nrm, sh_degree=3, capacity=cap)
+
+
+class TestInit:
+    def test_create_from_pcd(self):
+        s = make_state(100)
+        assert s.capacity == 1024
+        assert int(s.num_alive) == 100
+        # opacity activates to 0.1 (gaussian_model.py:230)
+        op = G.get_opacity(s.params)[:100]
+        np.testing.assert_allclose(np.asarray(op), 0.1, rtol=1e-5)
+        # scales are log sqrt(mean 3-NN dist^2): finite, reasonable
+        sc = np.asarray(G.get_scaling(s.params)[:100])
+        assert np.all(np.isfinite(sc)) and np.all(sc > 0)
+        # identity quaternions
+        np.testing.assert_allclose(
+            np.asarray(s.params.rotation[:100, 0]), 1.0
+        )
+        # albedo/roughness raw 1.0 -> sigmoid
+        np.testing.assert_allclose(
+            np.asarray(G.get_albedo(s.params)[:100]),
+            jax.nn.sigmoid(1.0),
+            rtol=1e-6,
+        )
+
+    def test_grow_capacity(self):
+        s = make_state(100)
+        s2 = G.grow_capacity(s, 2048)
+        assert s2.capacity == 2048
+        assert int(s2.num_alive) == 100
+        np.testing.assert_array_equal(
+            np.asarray(s2.params.xyz[:1024]), np.asarray(s.params.xyz)
+        )
+
+
+class TestDensify:
+    def test_clone_selexcts_small_high_grad(self):
+        s = make_state(100)
+        # mark gaussians 0..9 as high-gradient
+        accum = s.xyz_grad_accum.at[:10].set(1.0)
+        s = s._replace(xyz_grad_accum=accum, denom=s.denom.at[:100].set(1.0))
+        s2, written = G.densify_and_clone(s, grad_threshold=0.5, scene_extent=1e4)
+        assert int(s2.num_alive) == 110
+        assert int(jnp.sum(written)) == 10
+        # clones are exact copies
+        w = np.asarray(jnp.where(written, size=10)[0])
+        src_xyz = np.asarray(s.params.xyz[:10])
+        clone_xyz = np.asarray(s2.params.xyz[w])
+        np.testing.assert_allclose(np.sort(clone_xyz, 0), np.sort(src_xyz, 0))
+
+    def test_split_kills_original(self):
+        s = make_state(100)
+        accum = s.xyz_grad_accum.at[:5].set(1.0)
+        s = s._replace(xyz_grad_accum=accum, denom=s.denom.at[:100].set(1.0))
+        # tiny extent so max-scale > percent_dense*extent for all
+        s2, written = G.densify_and_split(
+            s, grad_threshold=0.5, scene_extent=1e-6,
+            rng=jax.random.PRNGKey(0), n_split=2,
+        )
+        # 100 - 5 killed + 10 new
+        assert int(s2.num_alive) == 105
+        assert int(jnp.sum(written)) == 10
+        # the killed original's slot is recycled for a split sample (written)
+        assert bool(written[0])
+        # split scale = original / (0.8*2)
+        w = np.asarray(jnp.where(written, size=10)[0])
+        expected = np.asarray(G.get_scaling(s.params)[0]) / 1.6
+        got = np.asarray(G.get_scaling(s2.params)[w])
+        assert np.any(np.all(np.abs(got - expected) < 1e-5, axis=1))
+
+    def test_capacity_overflow_drops(self):
+        s = make_state(1000, cap=1024)
+        accum = s.xyz_grad_accum.at[:100].set(1.0)
+        s = s._replace(xyz_grad_accum=accum, denom=s.denom.at[:1000].set(1.0))
+        s2, written = G.densify_and_clone(s, 0.5, 100.0)
+        # only 24 free slots
+        assert int(s2.num_alive) == 1024
+        assert int(jnp.sum(written)) == 24
+
+    def test_prune_opacity_and_smpl(self):
+        s = make_state(100)
+        op = s.params.opacity.at[:20].set(-20.0)  # sigmoid -> ~0
+        s = s._replace(params=s.params._replace(opacity=op))
+        verts = s.params.xyz[:100]  # SMPL verts = the points themselves
+        s2 = G.prune(s, min_opacity=0.005, scene_extent=10.0,
+                     max_screen_size=None, smpl_vertices=verts)
+        assert int(s2.num_alive) == 80
+        # now far verts: everything prunes
+        s3 = G.prune(s, 0.005, 10.0, None,
+                     smpl_vertices=verts + 100.0)
+        assert int(s3.num_alive) == 0
+
+    def test_reset_opacity(self):
+        s = make_state(50)
+        s2 = G.reset_opacity(s)
+        op = np.asarray(G.get_opacity(s2.params)[:50])
+        assert np.all(op <= 0.011)
+
+    def test_densify_and_prune_jit(self):
+        s = make_state(200)
+        accum = s.xyz_grad_accum.at[:20].set(1.0)
+        s = s._replace(xyz_grad_accum=accum, denom=s.denom.at[:200].set(1.0))
+        verts = s.params.xyz[:200]
+        s2, written = G.densify_and_prune(
+            s, jax.random.PRNGKey(1),
+            max_grad=2e-4, min_opacity=0.005, extent=5.0,
+            smpl_vertices=verts, use_kl=False,
+        )
+        # clones survive; split samples may violate the SMPL 5cm prior and
+        # get pruned (expected with synthetic randn "vertices")
+        assert int(s2.num_alive) >= 180
+        assert int(jnp.sum(written)) > 0
+        # stats reset
+        assert float(jnp.sum(s2.xyz_grad_accum)) == 0.0
+
+    def test_kl_variants_run(self):
+        s = make_state(200)
+        accum = s.xyz_grad_accum.at[:20].set(1.0)
+        s = s._replace(xyz_grad_accum=accum, denom=s.denom.at[:200].set(1.0))
+        s2, _ = G.densify_and_prune(
+            s, jax.random.PRNGKey(2),
+            max_grad=2e-4, min_opacity=0.005, extent=5.0,
+            use_kl=True,
+        )
+        assert int(s2.num_alive) > 0
+
+
+class TestKL:
+    def test_identical_gaussians_zero_kl(self):
+        mu = jnp.zeros((4, 3))
+        q = jnp.tile(jnp.array([1.0, 0, 0, 0]), (4, 1))
+        sc = jnp.ones((4, 3)) * 0.5
+        kl = G.kl_div_diag(mu, q, sc, mu, q, sc)
+        np.testing.assert_allclose(np.asarray(kl), 0.0, atol=1e-5)
+
+    def test_kl_positive_and_grows_with_distance(self):
+        mu0 = jnp.zeros((1, 3))
+        q = jnp.array([[1.0, 0, 0, 0]])
+        sc = jnp.ones((1, 3)) * 0.5
+        kl1 = float(G.kl_div_diag(mu0, q, sc, mu0 + 0.1, q, sc)[0])
+        kl2 = float(G.kl_div_diag(mu0, q, sc, mu0 + 1.0, q, sc)[0])
+        assert kl1 > 0 and kl2 > kl1
+
+
+class TestStats:
+    def test_add_densification_stats(self):
+        s = make_state(10)
+        grads = jnp.ones((s.capacity, 2))
+        radii = jnp.zeros((s.capacity,), jnp.int32).at[:5].set(3)
+        s2 = G.add_densification_stats(s, grads, radii)
+        assert float(s2.denom[0]) == 1.0
+        assert float(s2.denom[6]) == 0.0
+        np.testing.assert_allclose(float(s2.xyz_grad_accum[0]), np.sqrt(2.0), rtol=1e-6)
+        assert float(s2.max_radii2d[0]) == 3.0
+
+
+class TestPlyIO:
+    def test_round_trip(self, tmp_path):
+        s = make_state(77)
+        path = str(tmp_path / "points.ply")
+        save_ply(s, path)
+        s2 = load_ply(path, sh_degree=3)
+        assert int(s2.num_alive) == 77
+        for a, b in zip(s.params, s2.params):
+            np.testing.assert_allclose(
+                np.asarray(a[:77]), np.asarray(b[:77]), atol=1e-6
+            )
