@@ -11,23 +11,27 @@ torch.bmm; values are equivalent.
 from __future__ import annotations
 
 import math
-from typing import Any, NamedTuple
+from typing import Any
 
+import flax.struct
 import numpy as np
 
 Array = Any
 
 
-class Camera(NamedTuple):
-    """Static per-view data. Image payloads live beside it in the dataset."""
+@flax.struct.dataclass
+class Camera:
+    """Per-view data as a jit-friendly pytree: matrices/fovs are traced
+    leaves (no retrace per camera), width/height are static aux data (they
+    select the rasterizer's compiled grid)."""
 
     w2c: Array          # [4,4] world -> camera
     full_proj: Array    # [4,4] proj @ w2c
     cam_center: Array   # [3]
-    tan_fovx: float
-    tan_fovy: float
-    width: int
-    height: int
+    tan_fovx: Array
+    tan_fovy: Array
+    width: int = flax.struct.field(pytree_node=False)
+    height: int = flax.struct.field(pytree_node=False)
 
 
 def world2view(R: np.ndarray, t: np.ndarray) -> np.ndarray:

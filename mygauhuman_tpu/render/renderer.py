@@ -182,6 +182,10 @@ def render_frame(
         ],
         axis=1,
     )
+    # Dead capacity slots can hold garbage; they never blend (alive-masked in
+    # binning) but padded gather entries may still touch their rows — keep
+    # those rows finite.
+    features = jnp.where(state.alive[:, None], features, 0.0)
 
     cov6 = get_covariance6(p, scaling_modifier, transforms)
     out = rasterize(

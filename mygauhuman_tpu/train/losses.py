@@ -1,0 +1,180 @@
+"""Loss stack — static-shape, mask-weighted re-derivations of the reference.
+
+Parity targets: utils/loss_utils.py (l1/l2/ssim/smoothness), train.py:47-95
+(KDE entropy, TV), train.py:256-363 (the composed training losses),
+utils/image_utils.py (psnr).
+
+XLA re-derivations (equal math, static shapes):
+  * `image[mask==1].mean()` -> sum(x*mask)/ (C*sum(mask)): identical value.
+  * the cv2.boundingRect crop feeding SSIM/LPIPS (train.py:268-271) is
+    data-dependent-shape; we evaluate the SSIM map over the full image and
+    take its *mask-weighted* mean — same statistic restricted to the person
+    region without the dynamic crop. (The crop's only purpose is to restrict
+    attention to the subject; border-window differences are second-order.)
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def l1_loss(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.abs(x - y))
+
+
+def l2_loss(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean((x - y) ** 2)
+
+
+def masked_l1(x: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """mean of |x-y| over pixels where mask==1 (x,y: [H,W,C], mask: [H,W])."""
+    m = mask[..., None]
+    denom = jnp.maximum(jnp.sum(m) * x.shape[-1], 1.0)
+    return jnp.sum(jnp.abs(x - y) * m) / denom
+
+
+def masked_l2(x: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    if x.ndim == mask.ndim:
+        denom = jnp.maximum(jnp.sum(mask), 1.0)
+        return jnp.sum(((x - y) ** 2) * mask) / denom
+    m = mask[..., None]
+    denom = jnp.maximum(jnp.sum(m) * x.shape[-1], 1.0)
+    return jnp.sum(((x - y) ** 2) * m) / denom
+
+
+def psnr(img: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """Parity: utils/image_utils.py:17-24 (per-image MSE over all pixels)."""
+    mse = jnp.mean((img - gt) ** 2)
+    return 20.0 * jnp.log10(1.0 / jnp.sqrt(jnp.maximum(mse, 1e-12)))
+
+
+# ----------------------------------------------------------------------------
+# SSIM (windowed, gaussian 11x11 sigma 1.5 — loss_utils.py:26-66)
+# ----------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=8)
+def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
+    g = np.exp(
+        -((np.arange(window_size) - window_size // 2) ** 2) / (2 * sigma**2)
+    )
+    g = g / g.sum()
+    w = np.outer(g, g).astype(np.float32)
+    return w
+
+
+def _filter2d(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise 2D conv, SAME padding. img: [H, W, C]."""
+    C = img.shape[-1]
+    k = window.shape[0]
+    x = img.transpose(2, 0, 1)[:, None]                    # [C, 1, H, W]
+    w = jnp.broadcast_to(jnp.asarray(window), (C, 1, k, k))
+    y = jax.lax.conv_general_dilated(
+        x.reshape(1, C, *img.shape[:2]),
+        w,
+        window_strides=(1, 1),
+        padding="SAME",
+        feature_group_count=C,
+    )
+    return y[0].transpose(1, 2, 0)
+
+
+def ssim_map(img1: jnp.ndarray, img2: jnp.ndarray,
+             window_size: int = 11) -> jnp.ndarray:
+    """Per-pixel SSIM map [H, W, C] (loss_utils.py:47-60 formula)."""
+    w = jnp.asarray(_gaussian_window(window_size, 1.5))
+    mu1 = _filter2d(img1, w)
+    mu2 = _filter2d(img2, w)
+    mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = _filter2d(img1 * img1, w) - mu1_sq
+    s2 = _filter2d(img2 * img2, w) - mu2_sq
+    s12 = _filter2d(img1 * img2, w) - mu12
+    c1, c2 = 0.01**2, 0.03**2
+    return ((2 * mu12 + c1) * (2 * s12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (s1 + s2 + c2)
+    )
+
+
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray,
+         mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Mean SSIM; with `mask` [H,W], the mask-weighted mean of the map
+    (static-shape stand-in for the reference's bbox crop)."""
+    m = ssim_map(img1, img2)
+    if mask is None:
+        return jnp.mean(m)
+    mm = mask[..., None]
+    return jnp.sum(m * mm) / jnp.maximum(jnp.sum(mm) * m.shape[-1], 1.0)
+
+
+# ----------------------------------------------------------------------------
+# TV losses (train.py:73-95)
+# ----------------------------------------------------------------------------
+
+def tv_loss(img: jnp.ndarray) -> jnp.ndarray:
+    """img: [H, W, C]."""
+    tv_h = jnp.mean((img[1:, :, :] - img[:-1, :, :]) ** 2)
+    tv_w = jnp.mean((img[:, 1:, :] - img[:, :-1, :]) ** 2)
+    return tv_h + tv_w
+
+
+def masked_tv_loss(mask: jnp.ndarray, img: jnp.ndarray) -> jnp.ndarray:
+    """mask: [H, W] float weights; img: [H, W, C].
+
+    Parity: get_masked_tv_loss (train.py:82-95) — products of adjacent mask
+    values weight each squared difference; plain mean over all positions.
+    """
+    tv_h = (img[1:, :, :] - img[:-1, :, :]) ** 2
+    tv_w = (img[:, 1:, :] - img[:, :-1, :]) ** 2
+    m_h = (mask[1:, :] * mask[:-1, :])[..., None]
+    m_w = (mask[:, 1:] * mask[:, :-1])[..., None]
+    return jnp.mean(tv_h * m_h) + jnp.mean(tv_w * m_w)
+
+
+# ----------------------------------------------------------------------------
+# Material smoothness + KDE entropy (loss_utils.py:102-125, train.py:47-71)
+# ----------------------------------------------------------------------------
+
+def relative_smooth_loss(values: jnp.ndarray, nn_values: jnp.ndarray,
+                         mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Relative L1 between per-point values and their KNN neighbors.
+
+    values: [N, C]; nn_values: [N, K, C]. Parity: get_albedo_smooth_loss /
+    get_roughness_smooth_loss (albedo scales by neighbor mean, roughness by
+    neighbor sum — for K=2 they differ by 2x; we take the mean convention and
+    callers scale).
+    """
+    diff = jnp.abs(values[:, None, :] - nn_values)
+    scale = jnp.mean(nn_values, axis=1, keepdims=True) + 1e-6
+    rel = diff / scale
+    if mask is None:
+        return jnp.mean(rel)
+    m = mask[:, None, None]
+    return jnp.sum(rel * m) / jnp.maximum(
+        jnp.sum(m) * rel.shape[1] * rel.shape[2], 1.0
+    )
+
+
+def gaussian_histogram(x: jnp.ndarray, bins: int = 15,
+                       lo: float = 0.0, hi: float = 1.0) -> jnp.ndarray:
+    """Soft KDE histogram [bins, C] (train.py:47-56)."""
+    x = x.reshape(-1, x.shape[-1])
+    sigma = jnp.var(x, axis=0)
+    delta = (hi - lo) / bins
+    centers = lo + delta * (jnp.arange(bins, dtype=x.dtype) + 0.5)
+    d = x[None] - centers[:, None, None]                  # [bins, N, C]
+    h = jnp.exp(-0.5 * (d / (sigma + 1e-12)) ** 2) / (
+        (sigma + 1e-12) * np.sqrt(2 * np.pi)
+    ) * delta
+    return jnp.sum(h, axis=1)
+
+
+def gaussian_entropy(x: jnp.ndarray, bins: int = 15) -> jnp.ndarray:
+    """Sum of per-channel KDE entropies (train.py:58-71)."""
+    h = gaussian_histogram(x, bins)
+    eps = 1e-6
+    total = jnp.sum(h, axis=0)                             # [C]
+    hn = jnp.where(total[None] > eps, h / (total[None] + 1e-12) + eps,
+                   jnp.ones_like(h))
+    return jnp.sum(-hn * jnp.log(hn))

@@ -1,0 +1,289 @@
+"""Training loop: jitted train step + densify schedule + opacity resets.
+
+Re-derivation of `train.py:128-434` (loss branch A; the PBR branch B plugs in
+once the pbr/ stack lands). One fused jit region per (capacity, sh_degree)
+covers render -> loss -> backward -> Adam update -> densify-stat
+accumulation; densify/prune/reset events run as separate jitted ops on the
+schedule (every `densification_interval` iters inside
+[densify_from, densify_until), reset every `opacity_reset_interval`).
+
+Gradient flow for densification stats: the reference harvests
+`screenspace_points.grad` (train.py:403-404); here the loss is differentiated
+w.r.t. the explicit `means2d_offset` zeros input and scaled to reference NDC
+units by `densify_grad_scale` (ops/rasterize.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mygauhuman_tpu.config import OptimizationConfig
+from mygauhuman_tpu.data.camera import Camera
+from mygauhuman_tpu.models import gaussians as G
+from mygauhuman_tpu.models.smpl import SMPLModel
+from mygauhuman_tpu.ops.rasterize import RasterizerConfig, densify_grad_scale
+from mygauhuman_tpu.render import FrameInputs, render_frame
+from mygauhuman_tpu.train import losses as L
+from mygauhuman_tpu.train.optim import (
+    TrainableParams,
+    geometry_freeze_mask,
+    make_optimizer,
+    reset_adam_slots,
+)
+
+
+class TrainBatch(NamedTuple):
+    """One training view: camera + ground truth + masks + SMPL frame."""
+
+    camera: Camera
+    frame: FrameInputs
+    gt_image: jnp.ndarray     # [H, W, 3]
+    gt_normal: jnp.ndarray    # [H, W, 3] in [0,1] display encoding
+    bkgd_mask: jnp.ndarray    # [H, W] 1 = person
+    bound_mask: jnp.ndarray   # [H, W] 1 = inside projected SMPL bbox
+
+
+class TrainState(NamedTuple):
+    gauss: G.GaussianState
+    pose_refiner: Any
+    lbs_offset: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def trainable_params(ts: TrainState) -> TrainableParams:
+    return TrainableParams(
+        gaussians=ts.gauss.params,
+        pose_refiner=ts.pose_refiner,
+        lbs_offset=ts.lbs_offset,
+    )
+
+
+def create_train_state(
+    cfg: OptimizationConfig,
+    gauss: G.GaussianState,
+    pose_refiner: Any,
+    lbs_offset: Any,
+    spatial_lr_scale: float = 1.0,
+) -> tuple[TrainState, optax.GradientTransformation]:
+    params = TrainableParams(gauss.params, pose_refiner, lbs_offset)
+    tx = make_optimizer(cfg, params, spatial_lr_scale)
+    opt_state = tx.init(params)
+    return TrainState(
+        gauss=gauss,
+        pose_refiner=pose_refiner,
+        lbs_offset=lbs_offset,
+        opt_state=opt_state,
+        step=jnp.zeros((), jnp.int32),
+    ), tx
+
+
+def compute_losses_a(
+    out,
+    batch: TrainBatch,
+    scaling_mean: jnp.ndarray,
+    lpips_fn: Callable | None = None,
+) -> tuple[jnp.ndarray, dict]:
+    """Loss branch A (iter <= pbr_iteration), train.py:256-291.
+
+    total = L1(bound) + 0.1*maskL2 + normalL1 + axisL1 + 0.01*lpips
+            + 0.01*(1 - ssim) + 0.01*normal_TV + mean(scaling)
+    """
+    bm = batch.bound_mask.astype(jnp.float32)
+    ll1 = L.masked_l1(out.render, batch.gt_image, bm)
+    mask_loss = L.masked_l2(out.render_alpha, batch.bkgd_mask.astype(jnp.float32), bm)
+    normal_loss = L.masked_l1(out.normal, batch.gt_normal, bm)
+    axis_loss = L.masked_l1(out.render_axis, batch.gt_normal, bm)
+    ssim_val = L.ssim(out.render, batch.gt_image, bm) + L.ssim(
+        out.normal, batch.gt_normal, bm
+    )
+    if lpips_fn is not None:
+        lpips_val = lpips_fn(out.render, batch.gt_image) + lpips_fn(
+            out.normal, batch.gt_normal
+        )
+    else:
+        lpips_val = jnp.zeros(())
+    tv = L.masked_tv_loss(out.render_alpha, out.normal)
+
+    total = (
+        ll1
+        + 0.1 * mask_loss
+        + normal_loss
+        + axis_loss
+        + 0.01 * lpips_val
+        + 0.01 * (2.0 - ssim_val)   # two ssim terms, each "1 - ssim"
+        + 0.01 * tv
+        + scaling_mean
+    )
+    metrics = {
+        "loss": total,
+        "l1": ll1,
+        "mask": mask_loss,
+        "normal": normal_loss,
+        "axis": axis_loss,
+        "ssim": ssim_val,
+        "lpips": lpips_val,
+        "tv": tv,
+        "scaling_mean": scaling_mean,
+        "psnr": L.psnr(out.render, batch.gt_image),
+    }
+    return total, metrics
+
+
+def make_train_step(
+    smpl_model: SMPLModel,
+    tx: optax.GradientTransformation,
+    cfg: OptimizationConfig,
+    raster_config: RasterizerConfig,
+    bg: jnp.ndarray,
+    lpips_fn: Callable | None = None,
+):
+    """Build the jitted train step. Retraces per (capacity, sh_degree)."""
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def _step(ts: TrainState, batch: TrainBatch, active_sh_degree: int):
+        cap = ts.gauss.capacity
+        zeros2d = jnp.zeros((cap, 2), jnp.float32)
+
+        def loss_fn(params: TrainableParams, m2d_off):
+            gstate = ts.gauss._replace(params=params.gaussians)
+            mlps = {
+                "pose_refiner": params.pose_refiner,
+                "lbs_offset": params.lbs_offset,
+            }
+            out = render_frame(
+                gstate,
+                batch.camera,
+                batch.frame,
+                smpl_model,
+                bg=bg,
+                active_sh_degree=active_sh_degree,
+                mlp_params=mlps,
+                config=raster_config,
+                means2d_offset=m2d_off,
+            )
+            alive_f = ts.gauss.alive.astype(jnp.float32)
+            scaling_mean = jnp.sum(
+                G.get_scaling(params.gaussians) * alive_f[:, None]
+            ) / jnp.maximum(jnp.sum(alive_f) * 3, 1.0)
+            total, metrics = compute_losses_a(out, batch, scaling_mean, lpips_fn)
+            return total, (metrics, out.radii)
+
+        (_, (metrics, radii)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(trainable_params(ts), zeros2d)
+        gparams, gm2d = grads
+
+        frozen = ts.step >= cfg.pbr_iteration
+        mask = geometry_freeze_mask(gparams, frozen)
+        gparams = jax.tree_util.tree_map(lambda g, m: g * m, gparams, mask)
+
+        params = trainable_params(ts)
+        updates, opt_state = tx.update(gparams, ts.opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+
+        # Densification statistics in reference NDC units.
+        scale = densify_grad_scale(batch.camera.width, batch.camera.height)
+        gauss = ts.gauss._replace(params=new_params.gaussians)
+        gauss = G.add_densification_stats(gauss, gm2d * scale[None, :], radii)
+
+        new_ts = TrainState(
+            gauss=gauss,
+            pose_refiner=new_params.pose_refiner,
+            lbs_offset=new_params.lbs_offset,
+            opt_state=opt_state,
+            step=ts.step + 1,
+        )
+        return new_ts, metrics
+
+    def step(ts, batch, active_sh_degree: int):
+        # static sh degree: at most sh_degree+1 retraces over a run
+        return _step(ts, batch, int(active_sh_degree))
+
+    return step
+
+
+def densify_event(
+    ts: TrainState,
+    rng: jax.Array,
+    cfg: OptimizationConfig,
+    extent: float,
+    smpl_vertices: jnp.ndarray,
+    iteration: int,
+) -> TrainState:
+    """One scheduled densify+prune, with Adam-moment reset at rewritten slots.
+
+    Schedule parity (train.py:401-412): size_threshold 20 after iter 3000
+    (vacuous under the 1.2k/2k budgets, kept for completeness).
+    """
+    max_screen = 20.0 if iteration > 3000 else 0.0
+    gauss, written = G.densify_and_prune(
+        ts.gauss,
+        rng,
+        max_grad=cfg.densify_grad_threshold,
+        min_opacity=0.005,
+        extent=extent,
+        max_screen_size=max_screen,
+        max_screen_size_on=iteration > 3000,
+        kl_threshold=cfg.kl_threshold,
+        smpl_vertices=smpl_vertices,
+        use_kl=cfg.use_kl_densify,
+        percent_dense=cfg.percent_dense,
+    )
+    opt_state = reset_adam_slots(ts.opt_state, written, ts.gauss.capacity)
+    return ts._replace(gauss=gauss, opt_state=opt_state)
+
+
+def active_sh_degree_at(step: int, max_degree: int) -> int:
+    """SH degree ramps one level every 1000 iters (train.py:205-206)."""
+    return min(step // 1000, max_degree)
+
+
+def train_loop(
+    ts: TrainState,
+    tx,
+    step_fn,
+    batches: list[TrainBatch],
+    cfg: OptimizationConfig,
+    *,
+    extent: float,
+    smpl_vertices: jnp.ndarray,
+    max_sh_degree: int = 3,
+    seed: int = 0,
+    num_iterations: int | None = None,
+    callback: Callable | None = None,
+):
+    """Host-side schedule: random view order, densify/reset events.
+
+    View sampling parity (train.py:212-215): a shuffled stack of all train
+    views, refilled when exhausted.
+    """
+    import numpy as np
+
+    num_iterations = num_iterations or cfg.iterations
+    host_rng = np.random.RandomState(seed)
+    key = jax.random.PRNGKey(seed)
+    stack: list[int] = []
+    metrics = {}
+    for it in range(1, num_iterations + 1):
+        if not stack:
+            stack = list(range(len(batches)))
+        batch = batches[stack.pop(host_rng.randint(len(stack)))]
+        deg = active_sh_degree_at(it, max_sh_degree)
+        ts, metrics = step_fn(ts, batch, deg)
+
+        if (
+            cfg.densify_from_iter <= it < cfg.densify_until_iter
+            and it % cfg.densification_interval == 0
+        ):
+            key, sub = jax.random.split(key)
+            ts = densify_event(ts, sub, cfg, extent, smpl_vertices, it)
+        if it % cfg.opacity_reset_interval == 0:
+            ts = ts._replace(gauss=G.reset_opacity(ts.gauss))
+        if callback is not None:
+            callback(it, ts, metrics)
+    return ts, metrics

@@ -9,11 +9,16 @@ Math parity targets (formulas transcribed, not code):
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
 def normalize(v: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=axis, keepdims=True), eps)
+    # rsqrt(sum^2 + eps) keeps the gradient finite at v == 0 (zero vectors
+    # occur on dead capacity slots); jnp.linalg.norm would give NaN grads.
+    return v * jax.lax.rsqrt(
+        jnp.sum(v * v, axis=axis, keepdims=True) + eps * eps
+    )
 
 
 def quat_to_rotmat(q: jnp.ndarray, normalize_quat: bool = True) -> jnp.ndarray:
