@@ -1,0 +1,82 @@
+"""Device mesh + sharding specs for multi-chip training.
+
+The reference is single-GPU/single-process (SURVEY.md §2.9) — this module is
+the TPU-native scaling design with no reference analogue:
+
+  * mesh axes ("data", "gauss"): frames batch-parallel over "data" (DCN-
+    friendly), per-Gaussian arrays sharded over "gauss" (ICI collectives).
+  * per-Gaussian work (deform, preprocess, covariance, SH) is embarrassingly
+    parallel over the sharded capacity axis — no communication.
+  * the tile sort/binning and blend run under GSPMD: XLA inserts the
+    all-gathers for the tile x Gaussian instance exchange and psum-scatters
+    gradients back to the sharded Gaussians, overlapping with tile work
+    (scaling-book recipe: annotate shardings, let XLA place collectives).
+  * MLPs and optimizer scalars replicate; Adam moments follow their params.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: int | None = None,
+    n_gauss: int | None = None,
+    devices: list | None = None,
+) -> Mesh:
+    """Build a ("data", "gauss") mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n_data is None and n_gauss is None:
+        n_data = 1
+        n_gauss = n
+    elif n_data is None:
+        n_data = n // n_gauss
+    elif n_gauss is None:
+        n_gauss = n // n_data
+    assert n_data * n_gauss == n, (n_data, n_gauss, n)
+    arr = np.asarray(devices).reshape(n_data, n_gauss)
+    return Mesh(arr, ("data", "gauss"))
+
+
+def _shard_leaf_by_capacity(mesh: Mesh, capacity: int):
+    """Leaves with leading dim == capacity shard over "gauss"; others
+    replicate. Works for GaussianState, optimizer states, and grads."""
+    gauss = NamedSharding(mesh, P("gauss"))
+    rep = NamedSharding(mesh, P())
+
+    def spec(leaf):
+        if hasattr(leaf, "shape") and leaf.ndim >= 1 and leaf.shape[0] == capacity:
+            return gauss
+        return rep
+
+    return spec
+
+
+def state_sharding(mesh: Mesh, tree: Any, capacity: int):
+    """Sharding pytree for a TrainState/GaussianState-shaped tree."""
+    spec = _shard_leaf_by_capacity(mesh, capacity)
+    return jax.tree_util.tree_map(spec, tree)
+
+
+def batch_sharding(mesh: Mesh, tree: Any):
+    """Shard a leading batch dim over "data"; scalars replicate."""
+    data = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+
+    def spec(leaf):
+        if hasattr(leaf, "shape") and leaf.ndim >= 1:
+            return data
+        return rep
+
+    return jax.tree_util.tree_map(spec, tree)
+
+
+def shard_tree(mesh: Mesh, tree: Any, sharding_tree: Any):
+    """Device-put a pytree to its shardings."""
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), tree, sharding_tree
+    )
