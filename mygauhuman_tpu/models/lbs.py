@@ -25,7 +25,7 @@ from mygauhuman_tpu.models.smpl import (
     rigid_transform_chain,
 )
 from mygauhuman_tpu.ops.knn import knn
-from mygauhuman_tpu.utils.transforms import rodrigues
+from mygauhuman_tpu.utils.transforms import inv3x3, rodrigues
 
 
 class DeformOutput(NamedTuple):
@@ -106,7 +106,7 @@ def coarse_deform_c2source(
     A_big, _ = transform_params(model, big_pose_params)
     A_pt = jnp.einsum("nj,jab->nab", bweights, A_big)  # [N, 4, 4]
     x = query_pts - A_pt[:, :3, 3]
-    R_inv = jnp.linalg.inv(A_pt[:, :3, :3])
+    R_inv = inv3x3(A_pt[:, :3, :3])
     x = jnp.einsum("nab,nb->na", R_inv, x)
     nrm = jnp.einsum("nab,nb->na", R_inv, normals)
     transforms = R_inv
@@ -141,7 +141,7 @@ def coarse_deform_c2source(
 
     # --- SMPL space -> world (global rigid; R orthogonal so x@R^-1 == R x).
     Rg = params["R"]
-    Rg_inv = jnp.linalg.inv(Rg)
+    Rg_inv = inv3x3(Rg)
     world_pts = smpl_pts @ Rg_inv + params["Th"].reshape(3)
     world_normals = nrm @ Rg_inv
     transforms = Rg @ transforms

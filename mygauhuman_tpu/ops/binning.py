@@ -38,6 +38,8 @@ class TileLists(NamedTuple):
     counts: jnp.ndarray     # [T] int32 instances per tile (pre-truncation, capped at N*S)
     overflow_tiles: jnp.ndarray   # int32: total instances dropped by K truncation
     overflow_gauss: jnp.ndarray   # int32: total instances dropped by S truncation
+    sorted_gid: jnp.ndarray # [N*S] int32 tile-major depth-sorted instance ids
+    starts: jnp.ndarray     # [T] int32 offset of each tile's slice in sorted_gid
 
 
 def tile_dims(width: int, height: int, tile_w: int, tile_h: int) -> tuple[int, int]:
@@ -120,19 +122,47 @@ def bin_gaussians(
     tile_id = jnp.where(slot_ok, tile_id, T).astype(jnp.int32)     # sentinel T
 
     flat_tile = tile_id.reshape(-1)
-    flat_depth = jnp.broadcast_to(depths[:, None], (N, S)).reshape(-1).astype(jnp.float32)
     flat_gid = jnp.broadcast_to(
         jnp.arange(N, dtype=jnp.int32)[:, None], (N, S)
     ).reshape(-1)
 
-    # Lexicographic (tile, depth) sort — front-to-back within each tile.
-    sorted_tile, _, sorted_gid = jax.lax.sort(
-        (flat_tile, flat_depth, flat_gid), num_keys=2
-    )
-
-    tiles = jnp.arange(T, dtype=jnp.int32)
-    starts = jnp.searchsorted(sorted_tile, tiles, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(sorted_tile, tiles, side="right").astype(jnp.int32)
+    # Front-to-back order within each tile. Fast path: pack (tile, depth
+    # RANK) into ONE int32 key — the global argsort rank preserves the exact
+    # float ordering (the CUDA `tile<<32|float_bits` trick without 64-bit
+    # keys, rasterizer_impl.cu:102-104), and a 1-key sort is ~2x cheaper on
+    # TPU than the lexicographic (tile, f32) 2-key sort.
+    rank_radix = 1
+    while rank_radix < N:
+        rank_radix *= 2
+    if (T + 1) * rank_radix < 2**31:
+        order = jnp.argsort(depths.astype(jnp.float32))
+        rank = jnp.zeros((N,), jnp.int32).at[order].set(
+            jnp.arange(N, dtype=jnp.int32)
+        )
+        flat_rank = jnp.broadcast_to(rank[:, None], (N, S)).reshape(-1)
+        key = flat_tile * rank_radix + flat_rank
+        sorted_key, sorted_gid = jax.lax.sort((key, flat_gid), num_keys=1)
+        tiles = jnp.arange(T, dtype=jnp.int32)
+        starts = jnp.searchsorted(
+            sorted_key, tiles * rank_radix, side="left"
+        ).astype(jnp.int32)
+        ends = jnp.searchsorted(
+            sorted_key, (tiles + 1) * rank_radix, side="left"
+        ).astype(jnp.int32)
+    else:
+        flat_depth = jnp.broadcast_to(
+            depths[:, None], (N, S)
+        ).reshape(-1).astype(jnp.float32)
+        sorted_tile, _, sorted_gid = jax.lax.sort(
+            (flat_tile, flat_depth, flat_gid), num_keys=2
+        )
+        tiles = jnp.arange(T, dtype=jnp.int32)
+        starts = jnp.searchsorted(
+            sorted_tile, tiles, side="left"
+        ).astype(jnp.int32)
+        ends = jnp.searchsorted(
+            sorted_tile, tiles, side="right"
+        ).astype(jnp.int32)
     counts = ends - starts
 
     k = jnp.arange(K, dtype=jnp.int32)[None, :]                     # [1, K]
@@ -147,4 +177,6 @@ def bin_gaussians(
         counts=counts,
         overflow_tiles=overflow_tiles,
         overflow_gauss=overflow_gauss,
+        sorted_gid=sorted_gid,
+        starts=starts,
     )

@@ -57,15 +57,11 @@ def knn(
     queries = queries.astype(jnp.float32)
     refs = refs.astype(jnp.float32)
 
-    bs = min(block_size, Q)
-    pad = (-Q) % bs
-    qp = jnp.pad(queries, ((0, pad), (0, 0)))
-    n_blocks = qp.shape[0] // bs
-
     inf = jnp.float32(jnp.inf)
+    big = jnp.float32(3e38)
 
-    def per_block(args):
-        q, qidx0 = args
+    def per_block(q, qidx0):
+        bs = q.shape[0]
         d2 = _dist2_block(q, refs)  # [bs, R]
         if ref_mask is not None:
             d2 = jnp.where(ref_mask[None, :], d2, inf)
@@ -73,12 +69,33 @@ def knn(
             rows = jnp.arange(bs)[:, None] + qidx0
             cols = jnp.arange(R)[None, :]
             d2 = jnp.where(rows == cols, inf, d2)
+        if k <= 3:
+            # k successive argmin passes beat the top_k custom call on TPU
+            ds, ids = [], []
+            for _ in range(k):
+                i = jnp.argmin(d2, axis=1)
+                d = jnp.take_along_axis(d2, i[:, None], axis=1)[:, 0]
+                ds.append(d)
+                ids.append(i.astype(jnp.int32))
+                d2 = d2.at[jnp.arange(bs), i].set(big)
+            return jnp.stack(ds, axis=1), jnp.stack(ids, axis=1)
         neg_d, idx = jax.lax.top_k(-d2, k)
         return -neg_d, idx.astype(jnp.int32)
 
+    # Single-shot when the distance matrix is small enough (<= 256 MB):
+    # avoids the sequential lax.map while-loop entirely.
+    if Q * R <= 64_000_000:
+        return per_block(queries, 0)
+
+    bs = min(block_size, Q)
+    pad = (-Q) % bs
+    qp = jnp.pad(queries, ((0, pad), (0, 0)))
+    n_blocks = qp.shape[0] // bs
     q_blocks = qp.reshape(n_blocks, bs, 3)
     starts = jnp.arange(n_blocks) * bs
-    d2b, idxb = jax.lax.map(per_block, (q_blocks, starts))
+    d2b, idxb = jax.lax.map(
+        lambda args: per_block(args[0], args[1]), (q_blocks, starts)
+    )
     d2 = d2b.reshape(-1, k)[:Q]
     idx = idxb.reshape(-1, k)[:Q]
     return d2, idx

@@ -1,0 +1,353 @@
+"""Pallas TPU blend kernel: per-tile front-to-back alpha compositing.
+
+The jnp blend (ops/blend.py) evaluates a dense [tiles, K, pixels] tensor —
+correct, differentiable, but O(T*K*P) regardless of how many instances each
+tile really has. This kernel is the speed-of-light path: work is proportional
+to the actual sorted instance list, exactly like the reference CUDA renderCUDA
+(forward.cu:261-383), re-shaped for the TPU:
+
+  * instance-major layout: binning's depth-sorted (tile, gaussian) list is
+    pre-gathered into one [D, NS] matrix (rows = packed xy/conic/opacity/
+    depth/features, NS instances in lanes). Each tile's instances are a
+    CONTIGUOUS lane slice — per-tile work is chunked dynamic-slice DMAs, not
+    scattered gathers.
+  * per-tile grid; each step loops `cdiv(count_t, CHUNK)` chunks (dynamic
+    trip count — empty tiles cost ~nothing).
+  * alpha math on [P, CHUNK] blocks (P=256 sublanes x CHUNK lanes), the
+    transmittance as a log-space cumsum along lanes, feature accumulation as
+    one [P, CHUNK] @ [CHUNK, C] MXU matmul per chunk.
+  * early termination parity: instances with T <= 1e-4 contribute zero
+    (see ops/blend.py docstring for the equivalence argument).
+
+Row layout (D = 8 + C, feature rows sublane-aligned at 8):
+  0 x | 1 y | 2 cxx | 3 cxy | 4 cyy | 5 opacity | 6 depth | 7 pad | 8.. feat
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+LANE = 128
+HDR = 8  # header rows before the feature rows
+
+
+class InstanceData(NamedTuple):
+    data: jnp.ndarray     # [8 + C, NS] f32 (see row layout above)
+    starts: jnp.ndarray   # [T] i32 lane offset of each tile's slice
+    counts: jnp.ndarray   # [T] i32 instances per tile
+
+
+def build_instance_data(
+    sorted_gid: jnp.ndarray,    # [NS] depth-sorted gaussian ids (tile-major)
+    starts: jnp.ndarray,        # [T]
+    counts: jnp.ndarray,        # [T]
+    means2d: jnp.ndarray,       # [N, 2]
+    conics: jnp.ndarray,        # [N, 3]
+    opacities: jnp.ndarray,     # [N]
+    depths: jnp.ndarray,        # [N]
+    features: jnp.ndarray,      # [N, C]
+    chunk: int = 2 * LANE,
+) -> InstanceData:
+    """Gather per-instance rows once; one XLA gather, fused upstream."""
+    g = sorted_gid
+    ns = g.shape[0]
+    n = means2d.shape[0]
+    c = features.shape[-1]
+    c_pad = -(-c // 8) * 8 - c   # rows must tile to sublane multiples of 8
+    # Row-major attribute matrix [D, N], then ONE lane-gather to instance
+    # order. (Gathering [NS, D] rows and transposing costs ~2.4ms at 512^2;
+    # the lane-gather form stays in a TPU-friendly layout throughout.)
+    attrs = jnp.concatenate(
+        [
+            means2d.T,
+            conics.T,
+            opacities[None, :],
+            depths[None, :],
+            jnp.zeros((1, n), jnp.float32),
+            features.T,
+            jnp.zeros((c_pad, n), jnp.float32),
+        ],
+        axis=0,
+    )                                           # [8 + ceil8(C), N]
+    data = jnp.take(attrs, g, axis=1)           # [D, NS]
+    # Pad lanes so any (start + i*chunk, chunk) slice stays in bounds even
+    # for an unaligned start near the end.
+    pad = chunk + ((-ns) % chunk)
+    data = jnp.concatenate(
+        [data, jnp.zeros((data.shape[0], pad), data.dtype)], axis=1
+    )
+    return InstanceData(data=data, starts=starts, counts=counts)
+
+
+def _lane_cumsum(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix sum along lanes (axis=1) — log-step shift-add
+    (jnp.cumsum has no Pallas TPU lowering)."""
+    chunk = x.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    s = 1
+    while s < chunk:
+        shifted = pltpu.roll(x, shift=s, axis=1)
+        x = x + jnp.where(lane >= s, shifted, 0.0)
+        s *= 2
+    return x
+
+
+def _blend_kernel(
+    starts_ref, counts_ref,       # scalar prefetch
+    data_ref,                     # [D, NS] in ANY/HBM
+    out_ref,                      # [TB, P, C_OUT] block: TB tiles per step
+    chunk_buf, sem,               # scratch
+    *,
+    tile_w: int,
+    tile_h: int,
+    tiles_x: int,
+    n_feat: int,
+    chunk: int,
+    tiles_per_step: int,
+):
+    """Blend `tiles_per_step` consecutive tiles per grid step (amortizes the
+    per-grid-step Mosaic overhead, which dominates for sparse tiles)."""
+    P = tile_w * tile_h
+    # In-tile pixel pattern is tile-invariant: compute the int mod/div chain
+    # ONCE per grid step (integer div expands to long VPU sequences).
+    pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    pix_x = (pix % tile_w).astype(jnp.float32)
+    pix_y = (pix // tile_w).astype(jnp.float32)
+
+    def one_tile(ti):
+        t = pl.program_id(0) * tiles_per_step + ti
+        start = starts_ref[t]
+        count = counts_ref[t]
+        # DMA lane offsets must be 128-aligned: start from the chunk-aligned
+        # base below `start` and mask the prefix lanes.
+        base0 = (start // chunk) * chunk
+        offset = start - base0
+        n_chunks = pl.cdiv(offset + count, chunk)
+
+        x0 = ((t % tiles_x) * tile_w).astype(jnp.float32)
+        y0 = ((t // tiles_x) * tile_h).astype(jnp.float32)
+        px = x0 + pix_x
+        py = y0 + pix_y
+
+        def body(ci, carry):
+            color, w_sum, d_sum, log_t = carry
+            base = pl.multiple_of(base0 + ci * chunk, chunk)
+            dma = pltpu.make_async_copy(
+                data_ref.at[:, pl.ds(base, chunk)], chunk_buf, sem
+            )
+            dma.start()
+            dma.wait()
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+            glane = ci * chunk + lane           # lane index relative to base0
+            in_range = (
+                (glane >= offset) & (glane < offset + count)
+            ).astype(jnp.float32)
+
+            xy_x = chunk_buf[0:1, :]              # [1, chunk]
+            xy_y = chunk_buf[1:2, :]
+            cxx = chunk_buf[2:3, :]
+            cxy = chunk_buf[3:4, :]
+            cyy = chunk_buf[4:5, :]
+            op = chunk_buf[5:6, :]
+            dep = chunk_buf[6:7, :]
+
+            dx = xy_x - px                        # [P, chunk]
+            dy = xy_y - py
+            power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
+            alpha = jnp.minimum(0.99, op * jnp.exp(power))
+            ok = (power <= 0.0) & (alpha >= 1.0 / 255.0)
+            a = jnp.where(ok, alpha, 0.0) * in_range
+
+            l1ma = jnp.log1p(-a)
+            cum = _lane_cumsum(l1ma) + log_t      # log T_{i+1}
+            t_after = jnp.exp(cum)
+            t_before = jnp.exp(cum - l1ma)
+            include = (a > 0.0) & (t_after >= 1e-4)
+            w = jnp.where(include, a * t_before, 0.0)  # [P, chunk]
+
+            feat = chunk_buf[HDR:, :]             # [n_feat, chunk]
+            color = color + jax.lax.dot_general(
+                w, feat,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                      # [P, n_feat]
+            w_sum = w_sum + jnp.sum(w, axis=1, keepdims=True)
+            d_sum = d_sum + jnp.sum(w * dep, axis=1, keepdims=True)
+            log_t = log_t + jnp.sum(jnp.where(include, l1ma, 0.0), axis=1,
+                                    keepdims=True)
+            return color, w_sum, d_sum, log_t
+
+        color0 = jnp.zeros((P, n_feat), jnp.float32)
+        zero1 = jnp.zeros((P, 1), jnp.float32)
+        color, w_sum, d_sum, log_t = jax.lax.fori_loop(
+            0, n_chunks, body, (color0, zero1, zero1, zero1)
+        )
+        final_t = jnp.exp(log_t)
+        out_ref[ti, :, :n_feat] = color
+        out_ref[ti, :, n_feat:n_feat + 1] = w_sum
+        out_ref[ti, :, n_feat + 1:n_feat + 2] = d_sum
+        out_ref[ti, :, n_feat + 2:n_feat + 3] = final_t
+
+    # static unroll: keeps the out_ref writes statically indexed
+    for ti in range(tiles_per_step):
+        one_tile(ti)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "tile_w", "tile_h", "chunk",
+                     "n_channels", "interpret"),
+)
+def blend_pallas_raw(
+    inst: InstanceData,
+    bg: jnp.ndarray,
+    *,
+    width: int,
+    height: int,
+    n_channels: int,
+    tile_w: int = 16,
+    tile_h: int = 16,
+    chunk: int = 2 * LANE,
+    interpret: bool = False,
+):
+    """Run the kernel; returns (image [H,W,n_channels], alpha, depth,
+    final_t). The instance matrix carries ceil8-padded feature rows; the
+    pad columns come back as zeros and are sliced off here."""
+    tw = -(-width // tile_w)
+    th = -(-height // tile_h)
+    T = tw * th
+    P = tile_w * tile_h
+    D = inst.data.shape[0]
+    n_feat = D - HDR             # padded feature count (multiple of 8)
+    c_out = n_feat + 3
+
+    TB = 32                       # tiles per grid step
+    while T % TB:
+        TB //= 2
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T // TB,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),        # data stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (TB, P, c_out), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((D, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kernel = functools.partial(
+        _blend_kernel, tile_w=tile_w, tile_h=tile_h, tiles_x=tw,
+        n_feat=n_feat, chunk=chunk, tiles_per_step=TB,
+    )
+    tiles_out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((T, P, c_out), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(inst.starts, inst.counts, inst.data)
+
+    color = tiles_out[..., :n_channels]
+    w_sum = tiles_out[..., n_feat]
+    d_sum = tiles_out[..., n_feat + 1]
+    final_t = tiles_out[..., n_feat + 2]
+    color = color + final_t[..., None] * bg[None, None, :]
+
+    def assemble(x, ch):
+        x = x.reshape(th, tw, tile_h, tile_w, ch)
+        x = x.transpose(0, 2, 1, 3, 4).reshape(th * tile_h, tw * tile_w, ch)
+        return x[:height, :width]
+
+    image = assemble(color, n_channels)
+    alpha = assemble(w_sum[..., None], 1)[..., 0]
+    depth = assemble(d_sum[..., None], 1)[..., 0]
+    final_t2 = assemble(final_t[..., None], 1)[..., 0]
+    return image, alpha, depth, final_t2
+
+
+# ----------------------------------------------------------------------------
+# Differentiable wrapper: Pallas forward, jnp-blend autodiff backward
+# ----------------------------------------------------------------------------
+
+from mygauhuman_tpu.ops.blend import BlendOutput, blend as _jnp_blend  # noqa: E402
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14, 15))
+def blend_pallas(
+    sorted_gid, starts, counts,
+    means2d, conics, opacities, features, depths, bg,
+    width, height, tile_w, tile_h, chunk_tiles, tile_capacity, interpret,
+) -> BlendOutput:
+    """Pallas forward with gradients defined by the jnp blend's autodiff.
+
+    Both paths compute the identical masked-cumprod math over the identical
+    K-truncated per-tile lists, so the jnp VJP is the exact gradient of the
+    kernel's forward (up to fp reassociation). `counts` must already be
+    capped at tile_capacity K by the caller. The jnp path's [T, K] id lists
+    are NOT taken as inputs (custom_vjp calls are opaque to DCE — passing
+    them would keep an 8ms dead gather alive in forward-only renders); the
+    backward rebuilds them from (sorted_gid, starts, counts).
+    """
+    inst = build_instance_data(
+        sorted_gid, starts, counts, means2d, conics, opacities, depths,
+        features,
+    )
+    image, alpha, depth, final_t = blend_pallas_raw(
+        inst, bg, width=width, height=height,
+        n_channels=features.shape[-1], tile_w=tile_w, tile_h=tile_h,
+        interpret=interpret,
+    )
+    return BlendOutput(image=image, alpha=alpha, depth=depth, final_t=final_t)
+
+
+def _blend_pallas_fwd(
+    sorted_gid, starts, counts,
+    means2d, conics, opacities, features, depths, bg,
+    width, height, tile_w, tile_h, chunk_tiles, tile_capacity, interpret,
+):
+    out = blend_pallas(
+        sorted_gid, starts, counts,
+        means2d, conics, opacities, features, depths, bg,
+        width, height, tile_w, tile_h, chunk_tiles, tile_capacity, interpret,
+    )
+    res = (sorted_gid, starts, counts, means2d, conics, opacities, features,
+           depths, bg)
+    return out, res
+
+
+def _blend_pallas_bwd(
+    width, height, tile_w, tile_h, chunk_tiles, tile_capacity, interpret,
+    res, g,
+):
+    (sorted_gid, starts, counts, means2d, conics, opacities, features,
+     depths, bg) = res
+    # Rebuild the jnp blend's [T, K] per-tile lists (bwd-only gather).
+    K = tile_capacity
+    ns = sorted_gid.shape[0]
+    k = jnp.arange(K, dtype=jnp.int32)[None, :]
+    pos = jnp.clip(starts[:, None] + k, 0, ns - 1)
+    idx = sorted_gid[pos]
+    valid = k < counts[:, None]
+
+    def ref_blend(m2, con, op, feat, dep, bgc):
+        return _jnp_blend(
+            idx, valid, m2, con, op, feat, dep, bgc,
+            width=width, height=height, tile_w=tile_w, tile_h=tile_h,
+            chunk_tiles=chunk_tiles,
+        )
+
+    _, vjp = jax.vjp(ref_blend, means2d, conics, opacities, features,
+                     depths, bg)
+    dm2, dcon, dop, dfeat, ddep, dbg = vjp(BlendOutput(*g))
+    return (None, None, None, dm2, dcon, dop, dfeat, ddep, dbg)
+
+
+blend_pallas.defvjp(_blend_pallas_fwd, _blend_pallas_bwd)

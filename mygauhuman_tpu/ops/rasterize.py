@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from mygauhuman_tpu.ops.binning import bin_gaussians
 from mygauhuman_tpu.ops.blend import blend
+from mygauhuman_tpu.ops.pallas_blend import blend_pallas
 from mygauhuman_tpu.ops.projection import preprocess
 
 
@@ -33,6 +34,8 @@ class RasterizerConfig(NamedTuple):
     max_tiles_per_gaussian: int = 16
     tile_capacity: int = 1024
     chunk_tiles: int = 64
+    use_pallas: bool = False      # Pallas blend kernel (TPU); jnp otherwise
+    pallas_interpret: bool = False  # interpret-mode Pallas (CPU testing)
 
 
 class RasterizeOutput(NamedTuple):
@@ -89,21 +92,41 @@ def rasterize(
         max_tiles_per_gaussian=config.max_tiles_per_gaussian,
         tile_capacity=config.tile_capacity,
     )
-    out = blend(
-        bins.idx,
-        bins.valid,
-        means2d,
-        proj.conics,
-        opacities,
-        features,
-        proj.depths,
-        bg,
-        width=width,
-        height=height,
-        tile_w=config.tile_w,
-        tile_h=config.tile_h,
-        chunk_tiles=config.chunk_tiles,
-    )
+    if config.use_pallas:
+        out = blend_pallas(
+            bins.sorted_gid,
+            bins.starts,
+            jnp.minimum(bins.counts, config.tile_capacity),  # match jnp K cap
+            means2d,
+            proj.conics,
+            opacities,
+            features,
+            proj.depths,
+            bg,
+            width,
+            height,
+            config.tile_w,
+            config.tile_h,
+            config.chunk_tiles,
+            config.tile_capacity,
+            config.pallas_interpret,
+        )
+    else:
+        out = blend(
+            bins.idx,
+            bins.valid,
+            means2d,
+            proj.conics,
+            opacities,
+            features,
+            proj.depths,
+            bg,
+            width=width,
+            height=height,
+            tile_w=config.tile_w,
+            tile_h=config.tile_h,
+            chunk_tiles=config.chunk_tiles,
+        )
     radii = jnp.where(visible, proj.radii, 0)
     return RasterizeOutput(
         image=out.image,

@@ -1,0 +1,123 @@
+"""Pallas blend kernel vs jnp reference blend — the reference's own test
+oracle pattern (CUDA vs use_python twins, SURVEY.md §4) made explicit:
+interpret-mode kernel output and gradients must match the pure-jnp blend.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mygauhuman_tpu.ops.binning import bin_gaussians
+from mygauhuman_tpu.ops.blend import blend
+from mygauhuman_tpu.ops.pallas_blend import blend_pallas, build_instance_data, blend_pallas_raw
+from mygauhuman_tpu.ops.projection import preprocess
+from mygauhuman_tpu.ops.rasterize import RasterizerConfig, rasterize
+from mygauhuman_tpu.utils.transforms import covariance_from_scaling_rotation, strip_symmetric
+from mygauhuman_tpu.data.camera import make_camera
+
+W = H = 64
+N = 120
+C = 5
+K = 256
+
+
+def make_inputs(seed=0):
+    rng = np.random.RandomState(seed)
+    means3d = rng.randn(N, 3).astype(np.float32) * 0.4
+    scales = np.exp(rng.randn(N, 3).astype(np.float32) * 0.3 - 2.2)
+    quats = rng.randn(N, 4).astype(np.float32)
+    cov = covariance_from_scaling_rotation(
+        jnp.asarray(scales), jnp.asarray(quats)
+    )
+    cov6 = strip_symmetric(cov)
+    opac = jnp.asarray(rng.rand(N).astype(np.float32)) * 0.9 + 0.05
+    feats = jnp.asarray(rng.rand(N, C).astype(np.float32))
+    cam = make_camera(R=np.eye(3), t=np.array([0.0, 0.0, 3.0]),
+                      width=W, height=H, fovx=1.0, fovy=1.0)
+    return jnp.asarray(means3d), cov6, opac, feats, cam
+
+
+def run_both(seed=0, bg_val=0.3):
+    means3d, cov6, opac, feats, cam = make_inputs(seed)
+    proj = preprocess(means3d, cov6, cam.w2c, cam.full_proj, W, H,
+                      cam.tan_fovx, cam.tan_fovy)
+    bins = bin_gaussians(proj.means2d, proj.radii, proj.depths, proj.visible,
+                         width=W, height=H, tile_capacity=K)
+    bg = jnp.full((C,), bg_val)
+    args = (proj.means2d, proj.conics, opac, feats, proj.depths, bg)
+
+    ref = blend(bins.idx, bins.valid, *args, width=W, height=H)
+    counts = jnp.minimum(bins.counts, K)
+    got = blend_pallas(
+        bins.sorted_gid, bins.starts, counts, *args,
+        W, H, 16, 16, 64, K, True,   # interpret=True
+    )
+    return ref, got, (bins, args)
+
+
+class TestPallasForwardParity:
+    def test_image_alpha_depth_final_t(self):
+        ref, got, _ = run_both()
+        np.testing.assert_allclose(np.asarray(got.image),
+                                   np.asarray(ref.image), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got.alpha),
+                                   np.asarray(ref.alpha), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got.depth),
+                                   np.asarray(ref.depth), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got.final_t),
+                                   np.asarray(ref.final_t), atol=1e-5)
+        assert float(jnp.max(got.alpha)) > 0.1, "nothing blended"
+
+    def test_multiple_seeds(self):
+        for seed in [1, 2]:
+            ref, got, _ = run_both(seed)
+            np.testing.assert_allclose(np.asarray(got.image),
+                                       np.asarray(ref.image), atol=1e-5)
+
+
+class TestPallasGradParity:
+    def test_grads_match_jnp(self):
+        means3d, cov6, opac, feats, cam = make_inputs(0)
+        proj = preprocess(means3d, cov6, cam.w2c, cam.full_proj, W, H,
+                          cam.tan_fovx, cam.tan_fovy)
+        bins = bin_gaussians(proj.means2d, proj.radii, proj.depths,
+                             proj.visible, width=W, height=H, tile_capacity=K)
+        bg = jnp.zeros((C,))
+        counts = jnp.minimum(bins.counts, K)
+
+        def loss_ref(m2, con, op, feat):
+            out = blend(bins.idx, bins.valid, m2, con, op, feat, proj.depths,
+                        bg, width=W, height=H)
+            return jnp.sum(out.image**2) + jnp.sum(out.alpha)
+
+        def loss_pal(m2, con, op, feat):
+            out = blend_pallas(bins.sorted_gid, bins.starts, counts,
+                               m2, con, op, feat,
+                               proj.depths, bg, W, H, 16, 16, 64, K, True)
+            return jnp.sum(out.image**2) + jnp.sum(out.alpha)
+
+        args = (proj.means2d, proj.conics, opac, feats)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(*args)
+        g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3))(*args)
+        for a, b in zip(g_ref, g_pal):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=1e-4, rtol=1e-4)
+
+
+class TestRasterizePallasPath:
+    def test_rasterize_flag_parity(self):
+        means3d, cov6, opac, feats, cam = make_inputs(0)
+        common = dict(width=W, height=H, tan_fovx=cam.tan_fovx,
+                      tan_fovy=cam.tan_fovy)
+        bg = jnp.zeros((C,))
+        ref = rasterize(means3d, cov6, opac, feats, cam.w2c, cam.full_proj,
+                        bg, config=RasterizerConfig(tile_capacity=K),
+                        **common)
+        got = rasterize(means3d, cov6, opac, feats, cam.w2c, cam.full_proj,
+                        bg,
+                        config=RasterizerConfig(tile_capacity=K,
+                                                use_pallas=True,
+                                                pallas_interpret=True),
+                        **common)
+        np.testing.assert_allclose(np.asarray(got.image),
+                                   np.asarray(ref.image), atol=1e-5)
