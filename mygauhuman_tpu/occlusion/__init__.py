@@ -1,0 +1,6 @@
+from mygauhuman_tpu.occlusion.volumes import (  # noqa: F401
+    IrradianceVolumes,
+    recon_occlusion,
+    sh_components,
+)
+from mygauhuman_tpu.occlusion.baking import bake_occlusion  # noqa: F401

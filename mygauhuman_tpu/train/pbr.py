@@ -1,0 +1,271 @@
+"""PBR training branch (reference train.py loss branch B, :294-363).
+
+After `pbr_iteration` the geometry freezes and optimization switches to
+materials + light: split-sum shade the rendered G-buffers (world normal,
+albedo, roughness, occlusion, alpha) against ground truth, with BRDF TV,
+KDE-entropy, KNN material smoothness, lambertian and envmap-TV regularizers.
+A second Adam drives the cubemap light + irradiance volumes
+(train.py:155-164, both at opacity_lr; the volumes are stepped but unused by
+the loss — reference parity).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mygauhuman_tpu.config import OptimizationConfig
+from mygauhuman_tpu.data.camera import Camera
+from mygauhuman_tpu.models import gaussians as G
+from mygauhuman_tpu.models.smpl import SMPLModel
+from mygauhuman_tpu.occlusion.volumes import IrradianceVolumes, init_irradiance_volumes
+from mygauhuman_tpu.ops.knn import knn
+from mygauhuman_tpu.ops.rasterize import RasterizerConfig
+from mygauhuman_tpu.pbr.light import build_mips, export_envmap, init_cubemap_light
+from mygauhuman_tpu.pbr.shade import get_brdf_lut, pbr_shading
+from mygauhuman_tpu.render import render_frame
+from mygauhuman_tpu.train import losses as L
+from mygauhuman_tpu.train.optim import TrainableParams
+from mygauhuman_tpu.train.trainer import TrainBatch, TrainState, trainable_params
+
+R_MAX, R_MIN = 1.0, 0.04   # roughness remap (train.py:233-235)
+
+
+class PbrState(NamedTuple):
+    light: dict                    # {"base": [6, R, R, 3]}
+    volumes: IrradianceVolumes
+    opt_state: Any
+
+
+def create_pbr_state(
+    cfg: OptimizationConfig,
+    bound: float = 1.5,
+    base_res: int = 32,
+) -> tuple[PbrState, optax.GradientTransformation]:
+    """Light + volumes with one Adam at opacity_lr (train.py:145-164)."""
+    light = init_cubemap_light(base_res)
+    volumes = init_irradiance_volumes(
+        [-bound, -bound, -bound, bound, bound, bound]
+    )
+    tx = optax.adam(cfg.opacity_lr, eps=1e-15)
+    params = {"light": light, "volumes": volumes.coefficients}
+    return PbrState(light=light, volumes=volumes, opt_state=tx.init(params)), tx
+
+
+def canonical_view_dirs(camera: Camera) -> jnp.ndarray:
+    """Per-pixel world-space surface->camera directions [H, W, 3].
+
+    Parity: get_canonical_rays (scene/__init__.py:129-161) + the train-loop
+    transform (train.py:237-243): -(normalize(rays) @ c2w_rot rows).
+    """
+    H, W = camera.height, camera.width
+    focal_x = W / (2.0 * camera.tan_fovx)
+    focal_y = H / (2.0 * camera.tan_fovy)
+    x = (jnp.arange(W, dtype=jnp.float32) - W / 2 + 0.5) / focal_x
+    y = (jnp.arange(H, dtype=jnp.float32) - H / 2 + 0.5) / focal_y
+    dirs = jnp.stack(
+        [
+            jnp.broadcast_to(x[None, :], (H, W)),
+            jnp.broadcast_to(y[:, None], (H, W)),
+            jnp.ones((H, W), jnp.float32),
+        ],
+        axis=-1,
+    )
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    R_c2w = camera.w2c[:3, :3].T
+    world = jnp.einsum("hwc,rc->hwr", dirs, R_c2w)
+    return -world
+
+
+def compute_knn3(state: G.GaussianState) -> jnp.ndarray:
+    """[cap, 3] self-KNN neighbor ids among alive Gaussians, captured once at
+    the PBR transition (reference get_knn_3, gaussian_model.py:175-177 /
+    train.py:292-293)."""
+    far = jnp.where(state.alive[:, None], state.params.xyz, 1e6)
+    _, idx = knn(far, far, k=3, exclude_self=True)
+    return idx
+
+
+def compute_losses_pbr(
+    out,
+    batch: TrainBatch,
+    light_params: dict,
+    gauss_params: G.GaussianParams,
+    alive: jnp.ndarray,
+    knn3: jnp.ndarray,
+    view_dirs: jnp.ndarray,
+    brdf_lut: jnp.ndarray,
+    lpips_fn: Callable | None = None,
+):
+    """Branch-B total loss. Weights parity: train.py:316-363."""
+    light = build_mips(light_params)
+    alpha = out.render_alpha[..., None]
+    world_normal = jax.lax.stop_gradient(out.world_normal * 2.0 - 1.0)
+    roughness_img = out.roughness[..., None] * (R_MAX - R_MIN) + R_MIN
+    occlusion_img = out.occlusion[..., 0:1]
+
+    pbr = pbr_shading(
+        light=light,
+        normals=world_normal,
+        view_dirs=view_dirs,
+        albedo=out.albedo,
+        roughness=roughness_img,
+        mask=alpha,
+        occlusion=occlusion_img,
+        brdf_lut=brdf_lut,
+        tone=False,
+        gamma=False,
+    )
+    rgb = pbr["render_rgb"]
+
+    bm = batch.bound_mask.astype(jnp.float32)
+    ll1 = L.masked_l1(rgb, batch.gt_image, bm)
+    ssim_val = L.ssim(rgb, batch.gt_image, bm)
+    lpips_val = lpips_fn(rgb, batch.gt_image) if lpips_fn else jnp.zeros(())
+
+    brdf_img = jnp.concatenate([out.albedo, roughness_img], axis=-1)
+    brdf_tv = L.masked_tv_loss(out.render_alpha, brdf_img)
+    entropy = L.gaussian_entropy(out.albedo) + L.gaussian_entropy(
+        roughness_img
+    )
+
+    albedo_pts = G.get_albedo(gauss_params)
+    rough_pts = G.get_roughness(gauss_params)
+    alive_f = alive.astype(jnp.float32)
+    smooth = L.relative_smooth_loss(
+        albedo_pts[knn3[:, 1]], albedo_pts[knn3[:, 2]][:, None, :], alive_f
+    ) + L.relative_smooth_loss(
+        rough_pts[knn3[:, 1]], rough_pts[knn3[:, 2]][:, None, :], alive_f
+    )
+
+    lamb = jnp.sum(
+        (1.0 - roughness_img[..., 0]) * (out.render_alpha > 0)
+    ) / jnp.maximum(jnp.sum(out.render_alpha > 0), 1.0)
+
+    env = export_envmap(light_params, 64, 128)
+    env_tv = L.tv_loss(env)
+
+    total = (
+        ll1
+        + 0.01 * (1.0 - ssim_val)
+        + 0.01 * lpips_val
+        + 1.0 * brdf_tv
+        + 5.0e-5 * entropy
+        + 0.1 * smooth
+        + 0.001 * lamb
+        + 0.01 * env_tv
+    )
+    metrics = {
+        "loss": total,
+        "l1": ll1,
+        "ssim": ssim_val,
+        "lpips": lpips_val,
+        "brdf_tv": brdf_tv,
+        "entropy": entropy,
+        "smooth": smooth,
+        "lamb": lamb,
+        "env_tv": env_tv,
+        "psnr": L.psnr(rgb, batch.gt_image),
+    }
+    return total, metrics
+
+
+def make_pbr_train_step(
+    smpl_model: SMPLModel,
+    tx: optax.GradientTransformation,
+    light_tx: optax.GradientTransformation,
+    cfg: OptimizationConfig,
+    raster_config: RasterizerConfig,
+    bg: jnp.ndarray,
+    lpips_fn: Callable | None = None,
+):
+    """Jitted PBR step: materials (albedo/roughness via the scene optimizer)
+    + light/volumes (light optimizer). Geometry gradients are zeroed exactly
+    as update_learning_rate freezes them (gaussian_model.py:289-307)."""
+    brdf_lut = get_brdf_lut()
+
+    @functools.partial(jax.jit, static_argnums=(5,))
+    def step(
+        ts: TrainState,
+        pbr_state: PbrState,
+        batch: TrainBatch,
+        knn3: jnp.ndarray,
+        occlusion_color: jnp.ndarray,    # [cap, 3] baked (or opacity fallback)
+        active_sh_degree: int,
+    ):
+        view_dirs = canonical_view_dirs(batch.camera)
+
+        def loss_fn(params: TrainableParams, light_vol: dict):
+            gstate = ts.gauss._replace(params=params.gaussians)
+            mlps = {
+                "pose_refiner": params.pose_refiner,
+                "lbs_offset": params.lbs_offset,
+            }
+            out = render_frame(
+                gstate, batch.camera, batch.frame, smpl_model,
+                bg=bg, active_sh_degree=active_sh_degree, mlp_params=mlps,
+                config=raster_config, occlusion_color=occlusion_color,
+            )
+            total, metrics = compute_losses_pbr(
+                out, batch, light_vol["light"], params.gaussians,
+                ts.gauss.alive, knn3, view_dirs, brdf_lut, lpips_fn,
+            )
+            return total, metrics
+
+        light_vol = {
+            "light": pbr_state.light,
+            "volumes": pbr_state.volumes.coefficients,
+        }
+        (_, metrics), (gparams, glight) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(trainable_params(ts), light_vol)
+
+        # geometry frozen: only materials (albedo/roughness/normal) update
+        def zero(tree):
+            return jax.tree_util.tree_map(jnp.zeros_like, tree)
+
+        g = gparams.gaussians
+        gparams = TrainableParams(
+            gaussians=g._replace(
+                xyz=jnp.zeros_like(g.xyz),
+                features_dc=jnp.zeros_like(g.features_dc),
+                features_rest=jnp.zeros_like(g.features_rest),
+                scaling=jnp.zeros_like(g.scaling),
+                rotation=jnp.zeros_like(g.rotation),
+                opacity=jnp.zeros_like(g.opacity),
+            ),
+            pose_refiner=zero(gparams.pose_refiner),
+            lbs_offset=zero(gparams.lbs_offset),
+        )
+
+        params = trainable_params(ts)
+        updates, opt_state = tx.update(gparams, ts.opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+
+        lupdates, lopt_state = light_tx.update(
+            glight, pbr_state.opt_state, light_vol
+        )
+        new_light_vol = optax.apply_updates(light_vol, lupdates)
+        # clamp_ parity (train.py:423): light stays non-negative
+        new_light = {"base": jnp.maximum(new_light_vol["light"]["base"], 0.0)}
+
+        new_ts = TrainState(
+            gauss=ts.gauss._replace(params=new_params.gaussians),
+            pose_refiner=new_params.pose_refiner,
+            lbs_offset=new_params.lbs_offset,
+            opt_state=opt_state,
+            step=ts.step + 1,
+        )
+        new_pbr = PbrState(
+            light=new_light,
+            volumes=pbr_state.volumes._replace(
+                coefficients=new_light_vol["volumes"]
+            ),
+            opt_state=lopt_state,
+        )
+        return new_ts, new_pbr, metrics
+
+    return step

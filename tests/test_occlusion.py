@@ -1,0 +1,180 @@
+"""Occlusion subsystem tests: SH volumes, sparse interp, GGX SH recon,
+voxelization, and the cubemap AO bake (an occluder between a cell and the
+light must darken that cell's visibility map).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mygauhuman_tpu.occlusion import baking as BK
+from mygauhuman_tpu.occlusion import volumes as V
+from mygauhuman_tpu.ops.rasterize import RasterizerConfig
+from mygauhuman_tpu.utils.transforms import covariance_from_scaling_rotation, strip_symmetric
+
+
+class TestShComponents:
+    def test_counts_and_dc(self):
+        dirs = jnp.asarray([[0.0, 0.0, 1.0]])
+        for deg in [1, 2, 3, 4]:
+            c = V.sh_components(deg, dirs)
+            assert c.shape == (1, deg * deg)
+        np.testing.assert_allclose(float(c[0, 0]), 0.28209479, rtol=1e-6)
+
+    def test_orthonormality(self):
+        # Monte-Carlo: int Y_i Y_j domega ~ delta_ij
+        rng = np.random.RandomState(0)
+        d = rng.randn(20000, 3)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        comps = np.asarray(V.sh_components(3, jnp.asarray(d, jnp.float32)))
+        gram = comps.T @ comps / d.shape[0] * 4 * np.pi
+        np.testing.assert_allclose(gram, np.eye(9), atol=0.15)
+
+
+class TestTrilinear:
+    def test_dense_interp_linear_field(self):
+        # grid storing f(x,y,z) = x must interpolate exactly
+        res = 5
+        aabb = jnp.asarray([0, 0, 0, 1, 1, 1], jnp.float32)
+        xs = jnp.linspace(0, 1, res)
+        grid = jnp.broadcast_to(
+            xs[:, None, None, None, None], (res, res, res, 1, 1)
+        )
+        pts = jnp.asarray([[0.25, 0.6, 0.9], [0.5, 0.5, 0.5]])
+        out = V.trilinear_interpolate(grid, aabb, pts)
+        np.testing.assert_allclose(np.asarray(out[:, 0, 0]), [0.25, 0.5],
+                                   atol=1e-6)
+
+    def test_gradients(self):
+        res = 4
+        aabb = jnp.asarray([0, 0, 0, 1, 1, 1], jnp.float32)
+        grid = jnp.ones((res, res, res, 4, 1))
+        pts = jnp.asarray([[0.3, 0.3, 0.3]])
+        g = jax.grad(lambda gr: jnp.sum(V.trilinear_interpolate(gr, aabb, pts)))(grid)
+        np.testing.assert_allclose(float(jnp.sum(g)), 4.0, rtol=1e-5)
+
+    def test_sparse_interp_skips_empty(self):
+        res = 4
+        aabb = jnp.asarray([0, 0, 0, 1, 1, 1], jnp.float32)
+        ids = -jnp.ones((res, res, res), jnp.int32)
+        ids = ids.at[0, 0, 0].set(0)
+        coeffs = jnp.asarray([[[5.0]]])  # [1, 1, 1]
+        pts = jnp.asarray([[0.05, 0.05, 0.05]])
+        out = V.sparse_interpolate_coefficients(coeffs, ids, aabb, pts)
+        # only one valid corner -> renormalized to exactly its value
+        np.testing.assert_allclose(float(out[0, 0, 0]), 5.0, rtol=1e-5)
+
+    def test_dilate(self):
+        ids = -jnp.ones((3, 3, 3), jnp.int32)
+        ids = ids.at[1, 1, 1].set(7)
+        out = V.dilate_occlusion_ids(ids)
+        assert int(out[0, 1, 1]) == 7
+        assert int(out[1, 1, 1]) == 7
+        assert int(out[0, 0, 0]) == -1  # diagonal not in 6-neighborhood
+
+
+class TestShRecon:
+    def test_constant_sh_reconstructs_constant(self):
+        # DC-only coefficients: radiance = C0 * c0 everywhere
+        n = 5
+        coeffs = jnp.zeros((n, 16, 1)).at[:, 0, 0].set(1.0 / 0.28209479)
+        normals = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+        rough = jnp.ones((n, 1))
+        out = V.sh_reconstruction(coeffs, normals, rough, sample_rays=64)
+        np.testing.assert_allclose(np.asarray(out), 1.0, atol=0.02)
+
+    def test_recon_occlusion_pipeline(self):
+        res = 4
+        aabb = jnp.asarray([-1, -1, -1, 1, 1, 1], jnp.float32)
+        ids = jnp.arange(res**3, dtype=jnp.int32).reshape(res, res, res)
+        coeffs = jnp.zeros((res**3, 16, 1)).at[:, 0, 0].set(0.5 / 0.28209479)
+        pts = jnp.zeros((3, 3))
+        nrm = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (3, 3))
+        occ = V.recon_occlusion(pts, nrm, coeffs, ids, aabb, bound=1.0,
+                                sample_rays=64)
+        assert occ.shape == (3, 1)
+        np.testing.assert_allclose(np.asarray(occ), 0.5, atol=0.02)
+
+
+class TestIrradianceVolumes:
+    def test_query(self):
+        vol = V.init_irradiance_volumes([-1, -1, -1, 1, 1, 1], grid_res=8,
+                                        degree=3)
+        vol = vol._replace(
+            coefficients=vol.coefficients.at[..., 0, 0].set(1.0)
+        )
+        pts = jnp.zeros((4, 3))
+        nrm = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (4, 3))
+        out = V.query_irradiance(vol, pts, nrm)
+        assert out.shape == (4, 1)
+        np.testing.assert_allclose(np.asarray(out), 0.28209479, rtol=1e-4)
+
+    def test_grid_gradients(self):
+        vol = V.init_irradiance_volumes([-1, -1, -1, 1, 1, 1], grid_res=4,
+                                        degree=2)
+        pts = jnp.asarray([[0.1, 0.2, -0.3]])
+        nrm = jnp.asarray([[0.0, 1.0, 0.0]])
+
+        def f(c):
+            return jnp.sum(V.query_irradiance(vol._replace(coefficients=c),
+                                              pts, nrm))
+
+        # positive operating point (the relu clamp at 0 would zero grads)
+        c0 = vol.coefficients.at[..., 0, :].set(1.0)
+        g = jax.grad(f)(c0)
+        assert float(jnp.sum(jnp.abs(g))) > 0
+
+
+class TestVoxelize:
+    def test_pc_to_grid(self):
+        rng = np.random.RandomState(0)
+        pts = jnp.asarray(rng.rand(50, 3), jnp.float32)
+        alive = jnp.ones(50, bool)
+        grid = BK.pc_to_grid(pts, alive, res=4)
+        assert grid.centers.shape == (64, 3)
+        assert bool(jnp.any(grid.occupied))
+        # each point's cell center within half-cell distance (inf-norm)
+        centers = grid.centers[grid.cell_of_point]
+        cell = 1.0 / 4
+        assert float(jnp.max(jnp.abs(centers - pts))) <= cell * 0.51 + 1e-5
+
+
+class TestBake:
+    def test_occluder_darkens(self):
+        # two clusters on the y axis; a dense occluder slab above cluster A
+        # must remove upward visibility for A's cells
+        n = 64
+        rng = np.random.RandomState(0)
+        a = rng.randn(n, 3).astype(np.float32) * 0.05            # at origin
+        b = rng.randn(n, 3).astype(np.float32) * 0.2 + np.array(
+            [0, 1.0, 0], np.float32
+        )  # occluder slab above
+        pts = jnp.asarray(np.concatenate([a, b]))
+        scales = jnp.full((2 * n, 3), 0.08)
+        quats = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (2 * n, 1))
+        cov6 = strip_symmetric(covariance_from_scaling_rotation(scales, quats))
+        opac = jnp.full((2 * n,), 0.95)
+        nrm = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (2 * n, 3))
+        alive = jnp.ones((2 * n,), bool)
+
+        occ = BK.bake_occlusion(
+            pts, cov6, opac, nrm, alive,
+            height=16, width=32, grid_res=4, max_cells=32, face_res=16,
+            config=RasterizerConfig(tile_capacity=128, chunk_tiles=1,
+                                    max_tiles_per_gaussian=4),
+        )
+        assert occ.shape == (2 * n, 16, 32, 1)
+        assert bool(jnp.all(jnp.isfinite(occ)))
+        # up direction (latlong row 0 = theta 0 = +y): cluster A sees the
+        # occluder -> near-zero visibility; the top of cluster B sees sky
+        vis_a = float(jnp.mean(occ[:n, 0:3, :, 0]))
+        # hemisphere mask passes +y for these normals; A must be dark upward
+        assert vis_a < 0.35, vis_a
+        # A has SOME visibility laterally/above-horizon away from occluder
+        assert float(jnp.mean(occ[:n])) > 0.0
+
+    def test_occlusion_color_reduction(self):
+        occ = jnp.ones((5, 16, 32, 1))
+        col = BK.occlusion_color(occ, envmap=jnp.full((16, 32, 1), 1.0 / (16 * 32)))
+        assert col.shape == (5, 3)
+        np.testing.assert_allclose(np.asarray(col), 1.0, rtol=1e-4)
