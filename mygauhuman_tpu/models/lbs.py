@@ -19,7 +19,6 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from mygauhuman_tpu.models.smpl import (
-    NUM_JOINTS,
     SMPLModel,
     remove_rest_joint_translation,
     rigid_transform_chain,
@@ -63,7 +62,7 @@ def transform_params(
     )
     joints = model.j_regressor @ v_shaped
     if rot_mats is None:
-        rot_mats = rodrigues(params["poses"].reshape(NUM_JOINTS, 3))
+        rot_mats = rodrigues(params["poses"].reshape(-1, 3))
         rot_mats = apply_correct_rs(rot_mats, correct_Rs)
     G = rigid_transform_chain(rot_mats, joints, model.parents)
     A = remove_rest_joint_translation(G, joints)
@@ -96,7 +95,7 @@ def coarse_deform_c2source(
         _, idx = knn(query_pts, big_pose_verts, k=1)
         vert_ids = idx[:, 0]
 
-    bweights = model.weights[vert_ids]  # [N, 24]
+    bweights = model.weights[vert_ids]  # [N, J]
     if lbs_offset is not None:
         bweights = jnp.log(bweights + 1e-9) + lbs_offset
         bweights = jnp.exp(bweights - jnp.max(bweights, axis=-1, keepdims=True))
@@ -113,7 +112,7 @@ def coarse_deform_c2source(
     translation = jnp.einsum("nab,nb->na", R_inv, -A_pt[:, :3, 3])
 
     # --- Blendshape corrections (mean_shape branch, always on in reference).
-    big_rot_mats = rodrigues(big_pose_params["poses"].reshape(NUM_JOINTS, 3))
+    big_rot_mats = rodrigues(big_pose_params["poses"].reshape(-1, 3))
     po_big = _pose_offsets(model, big_rot_mats)[vert_ids]
     x = x - po_big
     translation = translation - po_big
@@ -124,7 +123,7 @@ def coarse_deform_c2source(
     x = x + shape_offset
     translation = translation + shape_offset
 
-    rot_mats = rodrigues(params["poses"].reshape(NUM_JOINTS, 3))
+    rot_mats = rodrigues(params["poses"].reshape(-1, 3))
     rot_mats = apply_correct_rs(rot_mats, correct_Rs)
     po_tgt = _pose_offsets(model, rot_mats)[vert_ids]
     x = x + po_tgt

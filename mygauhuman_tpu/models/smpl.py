@@ -150,7 +150,9 @@ def smpl_forward(
     poses: jnp.ndarray,           # [72] axis-angle or [24, 3, 3] rotations
     shapes: jnp.ndarray,          # [B]
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """SMPL forward: (vertices [V,3], posed joints [24,3]).
+    """SMPL forward: (vertices [V,3], posed joints [J,3]).
+
+    Joint count is derived from the model (24 for SMPL, 55 for SMPL-X).
 
     Parity: smpl/smpl_numpy.py:46-98 — shape blendshapes, 207-dim lrotmin
     pose blendshapes, kinematic compose, LBS skinning.
@@ -161,11 +163,11 @@ def smpl_forward(
     J = model.j_regressor @ v_shaped  # [24, 3]
 
     if poses.ndim == 1:
-        rot_mats = rodrigues(poses.reshape(NUM_JOINTS, 3))
+        rot_mats = rodrigues(poses.reshape(-1, 3))
     else:
         rot_mats = poses
     ident = jnp.eye(3, dtype=v_shaped.dtype)
-    lrotmin = (rot_mats[1:] - ident).reshape(-1)  # [207]
+    lrotmin = (rot_mats[1:] - ident).reshape(-1)  # [(J-1)*9]
     v_posed = v_shaped + jnp.einsum("vdp,p->vd", model.posedirs, lrotmin)
 
     G = rigid_transform_chain(rot_mats, J, model.parents)
@@ -185,13 +187,14 @@ def rigid_transform_chain(
     Parity: gaussian_model.py get_rigid_transformation_torch:924-944 (before
     the rest-joint subtraction). The 24-step chain is unrolled (static tree).
     """
+    n_joints = len(parents)
     rel = joints.at[1:].add(-joints[np.asarray(parents[1:])])
-    bottom = jnp.tile(jnp.array([[0.0, 0.0, 0.0, 1.0]], rot_mats.dtype), (NUM_JOINTS, 1, 1))
+    bottom = jnp.tile(jnp.array([[0.0, 0.0, 0.0, 1.0]], rot_mats.dtype), (n_joints, 1, 1))
     local = jnp.concatenate(
         [jnp.concatenate([rot_mats, rel[:, :, None]], axis=-1), bottom], axis=-2
-    )  # [24, 4, 4]
+    )  # [J, 4, 4]
     chain = [local[0]]
-    for j in range(1, NUM_JOINTS):
+    for j in range(1, n_joints):
         chain.append(chain[int(parents[j])] @ local[j])
     return jnp.stack(chain, axis=0)
 
