@@ -1,0 +1,127 @@
+"""Rendering/eval CLI — the reference `render.py` driver.
+
+Renders train/test galleries from a checkpoint (with optional cached-LBS
+replay, skipping the MLPs like render.py:169-195), measures FPS the same way
+(len(views) / total wall time, render.py:262-285), and reports
+PSNR/SSIM/LPIPS.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="mygauhuman_tpu renderer")
+    p.add_argument("--model_path", "-m", type=str, required=True)
+    p.add_argument("--iteration", type=int, default=-1)
+    p.add_argument("--source_path", "-s", type=str, default="")
+    p.add_argument("--smpl_model_path", type=str,
+                   default="assets/SMPL_NEUTRAL_renderpeople.pkl")
+    p.add_argument("--white_background", action="store_true")
+    p.add_argument("--skip_train", action="store_true", default=True)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synthetic_size", type=int, default=128)
+    p.add_argument("--use_replay_cache", action="store_true",
+                   help="replay cached LBS transforms (skip MLPs)")
+    return p
+
+
+def main(argv=None) -> dict:
+    import imageio.v2 as imageio
+    import jax
+    import jax.numpy as jnp
+
+    args = build_parser().parse_args(argv)
+
+    from mygauhuman_tpu.eval.metrics import evaluate_images
+    from mygauhuman_tpu.models.io import load_ply
+    from mygauhuman_tpu.ops.rasterize import RasterizerConfig
+    from mygauhuman_tpu.render import render_frame
+    from mygauhuman_tpu.train.checkpoint import latest_step, load_eval_cache
+
+    it = args.iteration
+    if it < 0:
+        it = latest_step(args.model_path) or 0
+
+    if args.synthetic:
+        from mygauhuman_tpu.data.synthetic import make_synthetic_scene
+
+        scene = make_synthetic_scene(
+            n_views=4, width=args.synthetic_size, height=args.synthetic_size,
+            n_verts=400, capacity=1024,
+        )
+        smpl_model = scene.smpl_model
+        batches = scene.batches
+        raster_cfg = scene.raster_config
+    else:
+        from mygauhuman_tpu.data.readers import (
+            camera_info_to_batch,
+            load_scene_info,
+        )
+        from mygauhuman_tpu.models.smpl import load_smpl
+
+        smpl_model = load_smpl(args.smpl_model_path)
+        info = load_scene_info(args.source_path, args.white_background,
+                               os.path.basename(args.model_path), True,
+                               smpl_model)
+        batches = [camera_info_to_batch(c) for c in info.test_cameras]
+        raster_cfg = RasterizerConfig(
+            use_pallas=jax.devices()[0].platform not in ("cpu",)
+        )
+
+    ply_path = os.path.join(args.model_path, f"point_cloud_{it}.ply")
+    state = load_ply(ply_path)
+
+    cache = None
+    cache_path = os.path.join(args.model_path, f"smpl_rot_{it}.npz")
+    if args.use_replay_cache and os.path.exists(cache_path):
+        cache = load_eval_cache(cache_path)
+
+    out_dir = os.path.join(args.model_path, f"renders_{it}")
+    os.makedirs(out_dir, exist_ok=True)
+    bg = jnp.ones(3) if args.white_background else jnp.zeros(3)
+
+    renders, gts = [], []
+    start = time.time()
+    for bi, batch in enumerate(batches):
+        kwargs = {}
+        if cache is not None and str(bi) in cache:
+            cap = state.capacity
+            kwargs["transforms"] = jnp.asarray(
+                cache[str(bi)]["transforms"][:cap]
+            )
+            kwargs["translation"] = jnp.asarray(
+                cache[str(bi)]["translation"][:cap]
+            )
+        out = render_frame(
+            state, batch.camera, batch.frame, smpl_model,
+            bg=bg, active_sh_degree=3, config=raster_cfg, **kwargs,
+        )
+        img = np.asarray(out.render)
+        renders.append(img)
+        gts.append(np.asarray(batch.gt_image))
+        imageio.imwrite(
+            os.path.join(out_dir, f"{bi:05d}.png"),
+            (np.clip(img, 0, 1) * 255).astype(np.uint8),
+        )
+    jax.block_until_ready(renders[-1] if renders else None)
+    elapsed = time.time() - start
+    fps = len(batches) / max(elapsed, 1e-9)
+
+    metrics = evaluate_images(renders, gts)
+    metrics["fps"] = fps
+    with open(os.path.join(out_dir, "results.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    print(f"rendered {len(batches)} views at {fps:.1f} FPS | "
+          f"PSNR {metrics['psnr']:.2f} SSIM {metrics['ssim']:.3f} "
+          f"LPIPS {metrics['lpips']:.3f}")
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

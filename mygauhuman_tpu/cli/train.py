@@ -1,0 +1,201 @@
+"""Training CLI — the reference `train.py` driver re-built on the JAX stack.
+
+Usage:
+  python -m mygauhuman_tpu.cli.train --source_path data/zju_mocap_refine/my_377 \\
+      --exp_name zju_377 --iterations 1200 --motion_offset_flag --smpl_type smpl
+  python -m mygauhuman_tpu.cli.train --synthetic       # no-dataset demo run
+
+Flow parity (train.py:128-434): scene load -> Gaussian init from the SMPL
+cloud -> loss-branch-A optimization with densify/prune/opacity-reset
+schedules and SH-degree ramp -> periodic eval (PSNR/SSIM/LPIPS) + eval-cache
+capture -> orbax checkpoint + PLY export. The PBR phase (branch B) engages
+past `pbr_iteration` with occlusion baking.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="mygauhuman_tpu trainer")
+    p.add_argument("--source_path", "-s", type=str, default="")
+    p.add_argument("--model_path", "-m", type=str, default="")
+    p.add_argument("--exp_name", type=str, default="default")
+    p.add_argument("--smpl_model_path", type=str,
+                   default="assets/SMPL_NEUTRAL_renderpeople.pkl")
+    p.add_argument("--smpl_type", type=str, default="smpl")
+    p.add_argument("--white_background", action="store_true")
+    p.add_argument("--motion_offset_flag", action="store_true", default=True)
+    p.add_argument("--eval", action="store_true", default=True)
+    p.add_argument("--iterations", type=int, default=1200)
+    p.add_argument("--sh_degree", type=int, default=3)
+    p.add_argument("--test_iterations", type=int, nargs="+", default=[1200])
+    p.add_argument("--save_iterations", type=int, nargs="+", default=[1200])
+    p.add_argument("--pbr_iteration", type=int, default=30_000)
+    p.add_argument("--use_kl_densify", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on the built-in synthetic scene (no dataset)")
+    p.add_argument("--synthetic_size", type=int, default=128)
+    p.add_argument("--use_pallas", action="store_true", default=None)
+    return p
+
+
+def main(argv=None) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    args = build_parser().parse_args(argv)
+
+    from mygauhuman_tpu.config import Config, OptimizationConfig
+    from mygauhuman_tpu.models import gaussians as G
+    from mygauhuman_tpu.models.io import save_ply
+    from mygauhuman_tpu.models.mlps import init_lbs_offset, init_pose_refiner
+    from mygauhuman_tpu.ops.rasterize import RasterizerConfig
+    from mygauhuman_tpu.render import render_frame
+    from mygauhuman_tpu.train.checkpoint import (
+        save_checkpoint,
+        save_eval_cache,
+    )
+    from mygauhuman_tpu.train.trainer import (
+        create_train_state,
+        make_train_step,
+        train_loop,
+    )
+    from mygauhuman_tpu.utils.logging import MetricLogger
+    from mygauhuman_tpu.train.losses import psnr as psnr_fn
+
+    out_dir = args.model_path or os.path.join("output", args.exp_name)
+    os.makedirs(out_dir, exist_ok=True)
+
+    cfg = OptimizationConfig(
+        iterations=args.iterations,
+        pbr_iteration=args.pbr_iteration,
+        use_kl_densify=args.use_kl_densify,
+    )
+    use_pallas = (
+        args.use_pallas
+        if args.use_pallas is not None
+        else jax.devices()[0].platform not in ("cpu",)
+    )
+
+    if args.synthetic:
+        from mygauhuman_tpu.data.synthetic import make_synthetic_scene
+
+        scene = make_synthetic_scene(
+            n_views=4, width=args.synthetic_size, height=args.synthetic_size,
+            n_verts=400, capacity=1024,
+            raster_config=RasterizerConfig(use_pallas=use_pallas),
+        )
+        smpl_model = scene.smpl_model
+        train_batches = scene.batches
+        test_batches = scene.batches[:1]
+        state = scene.init_state
+        extent = scene.extent
+        smpl_vertices = scene.big_pose_verts
+        raster_cfg = scene.raster_config
+    else:
+        from mygauhuman_tpu.data.readers import (
+            camera_info_to_batch,
+            load_scene_info,
+            zju_normal_reencode,
+        )
+        from mygauhuman_tpu.models.smpl import load_smpl
+
+        smpl_model = load_smpl(args.smpl_model_path)
+        info = load_scene_info(
+            args.source_path, args.white_background, args.exp_name,
+            args.eval, smpl_model,
+        )
+        is_zju = "zju" in args.source_path.lower()
+
+        def to_batch(ci):
+            b = camera_info_to_batch(ci)
+            if is_zju and ci.normal is not None:
+                b = b._replace(
+                    gt_normal=jnp.asarray(zju_normal_reencode(ci.normal))
+                )
+            return b
+
+        train_batches = [to_batch(c) for c in info.train_cameras]
+        test_batches = [to_batch(c) for c in info.test_cameras]
+        pcd = info.point_cloud
+        state = G.create_from_pcd(
+            pcd.points, pcd.colors, pcd.normals, sh_degree=args.sh_degree
+        )
+        extent = info.nerf_normalization["radius"]
+        smpl_vertices = jnp.asarray(
+            info.train_cameras[0].big_pose_world_vertex
+        )
+        raster_cfg = RasterizerConfig(use_pallas=use_pallas)
+
+    key = jax.random.PRNGKey(args.seed)
+    n_joints = smpl_model.j_regressor.shape[0]
+    ts, tx = create_train_state(
+        cfg, state,
+        init_pose_refiner(key, total_bones=n_joints),
+        init_lbs_offset(jax.random.PRNGKey(args.seed + 1),
+                        total_bones=n_joints),
+    )
+    bg = jnp.ones(3) if args.white_background else jnp.zeros(3)
+    step_fn = make_train_step(smpl_model, tx, cfg, raster_cfg, bg=bg)
+    logger = MetricLogger(out_dir)
+
+    eval_cache: dict = {}
+
+    def run_eval(it, ts):
+        psnrs = []
+        for bi, batch in enumerate(test_batches):
+            out = render_frame(
+                ts.gauss, batch.camera, batch.frame, smpl_model,
+                bg=bg, active_sh_degree=min(it // 1000, args.sh_degree),
+                mlp_params={"pose_refiner": ts.pose_refiner,
+                            "lbs_offset": ts.lbs_offset},
+                config=raster_cfg,
+            )
+            psnrs.append(float(psnr_fn(out.render, batch.gt_image)))
+            eval_cache[str(bi)] = {
+                "transforms": np.asarray(out.transforms),
+                "translation": np.asarray(out.translation),
+            }
+        logger.log(it, {"psnr": float(np.mean(psnrs))}, prefix="test")
+        print(f"[iter {it}] test PSNR {np.mean(psnrs):.2f} "
+              f"({int(ts.gauss.num_alive)} gaussians)")
+        return float(np.mean(psnrs))
+
+    start = time.time()
+    last_psnr = 0.0
+
+    def callback(it, ts, metrics):
+        nonlocal last_psnr
+        if it % 100 == 0 or it == 1:
+            logger.log(it, metrics)
+            logger.log(it, {"n_gaussians": int(ts.gauss.num_alive)},
+                       prefix="scene")
+        if it in args.test_iterations:
+            last_psnr = run_eval(it, ts)
+        if it in args.save_iterations:
+            save_checkpoint(out_dir, it, ts, Config(optim=cfg))
+            save_ply(ts.gauss, os.path.join(out_dir, f"point_cloud_{it}.ply"))
+            save_eval_cache(os.path.join(out_dir, f"smpl_rot_{it}.npz"),
+                            eval_cache)
+
+    ts, metrics = train_loop(
+        ts, tx, step_fn, train_batches, cfg,
+        extent=extent, smpl_vertices=smpl_vertices,
+        max_sh_degree=args.sh_degree, seed=args.seed, callback=callback,
+    )
+    elapsed = time.time() - start
+    print(f"training done: {cfg.iterations} iters in {elapsed:.1f}s "
+          f"({int(ts.gauss.num_alive)} gaussians)")
+    logger.close()
+    return {"elapsed_s": elapsed, "final_loss": float(metrics["loss"]),
+            "test_psnr": last_psnr, "out_dir": out_dir}
+
+
+if __name__ == "__main__":
+    main()

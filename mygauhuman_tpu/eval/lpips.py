@@ -1,0 +1,139 @@
+"""LPIPS perceptual metric — VGG16 feature distance in pure JAX.
+
+Replaces the reference's `lpips` pip package (train.py:36-37, the 0.01*lpips
+training term) and the vendored lpipsPyTorch (metrics.py path). Architecture
+parity with lpips-VGG: five feature stages (relu1_2, relu2_2, relu3_3,
+relu4_3, relu5_3), channel-unit-normalized, squared difference, 1x1 linear
+head per stage, spatial mean, summed.
+
+Weights: this environment has no network egress and ships no pretrained VGG,
+so by default the backbone uses DETERMINISTIC random conv features (seeded He
+init). Random-VGG LPIPS is a valid perceptual-ish distance (random conv
+features preserve texture statistics) but does NOT reproduce published LPIPS
+numbers — pass `weights_file=` (an .npz exported from torchvision VGG16 +
+lpips linear heads via `export_torch_weights`) for exact parity.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# VGG16 conv plan: (out_channels, pool_before)
+_VGG_PLAN = [
+    (64, False), (64, False),          # stage 1 -> relu1_2
+    (128, True), (128, False),         # stage 2 -> relu2_2
+    (256, True), (256, False), (256, False),   # stage 3 -> relu3_3
+    (512, True), (512, False), (512, False),   # stage 4 -> relu4_3
+    (512, True), (512, False), (512, False),   # stage 5 -> relu5_3
+]
+_STAGE_ENDS = [1, 3, 6, 9, 12]
+_STAGE_CHANNELS = [64, 128, 256, 512, 512]
+
+# ImageNet normalization used by lpips (scaling_layer shift/scale)
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+
+class LPIPSParams(NamedTuple):
+    convs: tuple      # tuple of {"w": [kh,kw,cin,cout], "b": [cout]}
+    lins: tuple       # tuple of [C] per stage (1x1 linear head weights)
+
+
+def init_lpips(key=None, weights_file: str | None = None) -> LPIPSParams:
+    if weights_file is not None:
+        data = np.load(weights_file)
+        convs = []
+        for i in range(len(_VGG_PLAN)):
+            convs.append({
+                "w": jnp.asarray(data[f"conv{i}_w"]),
+                "b": jnp.asarray(data[f"conv{i}_b"]),
+            })
+        lins = tuple(jnp.asarray(data[f"lin{i}"]) for i in range(5))
+        return LPIPSParams(convs=tuple(convs), lins=lins)
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    convs = []
+    cin = 3
+    for i, (cout, _) in enumerate(_VGG_PLAN):
+        key, sub = jax.random.split(key)
+        w = jax.random.normal(sub, (3, 3, cin, cout)) * np.sqrt(
+            2.0 / (3 * 3 * cin)
+        )
+        convs.append({"w": w, "b": jnp.zeros((cout,))})
+        cin = cout
+    lins = tuple(
+        jnp.full((c,), 1.0 / c, jnp.float32) for c in _STAGE_CHANNELS
+    )
+    return LPIPSParams(convs=tuple(convs), lins=lins)
+
+
+def export_torch_weights(out_path: str, vgg_state: dict, lin_state: dict):
+    """Convert torchvision VGG16 `features` state_dict + lpips lin heads to
+    the .npz this module loads. (Utility for environments with the weights.)
+    """
+    conv_ids = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    arrs = {}
+    for i, cid in enumerate(conv_ids):
+        w = np.asarray(vgg_state[f"features.{cid}.weight"])
+        arrs[f"conv{i}_w"] = np.transpose(w, (2, 3, 1, 0))
+        arrs[f"conv{i}_b"] = np.asarray(vgg_state[f"features.{cid}.bias"])
+    for i in range(5):
+        lin = np.asarray(lin_state[f"lin{i}.model.1.weight"])
+        arrs[f"lin{i}"] = lin.reshape(-1)
+    np.savez(out_path, **arrs)
+
+
+def _conv(x, p):
+    return jax.lax.conv_general_dilated(
+        x, p["w"], (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + p["b"]
+
+
+def _features(params: LPIPSParams, x: jnp.ndarray) -> list:
+    """x: [N, H, W, 3] in [0, 1] -> list of 5 stage activations."""
+    x = x * 2.0 - 1.0                                   # lpips takes [-1, 1]
+    x = (x - _SHIFT) / _SCALE
+    feats = []
+    for i, (p, (_, pool)) in enumerate(zip(params.convs, _VGG_PLAN)):
+        if pool:
+            x = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+            )
+        x = jax.nn.relu(_conv(x, p))
+        if i in _STAGE_ENDS:
+            feats.append(x)
+    return feats
+
+
+def lpips_distance(
+    params: LPIPSParams, img1: jnp.ndarray, img2: jnp.ndarray
+) -> jnp.ndarray:
+    """img: [H, W, 3] or [N, H, W, 3] in [0, 1] -> scalar (or [N])."""
+    squeeze = img1.ndim == 3
+    if squeeze:
+        img1, img2 = img1[None], img2[None]
+    f1 = _features(params, img1)
+    f2 = _features(params, img2)
+    total = 0.0
+    for a, b, lin in zip(f1, f2, params.lins):
+        a = a * jax.lax.rsqrt(jnp.sum(a * a, axis=-1, keepdims=True) + 1e-10)
+        b = b * jax.lax.rsqrt(jnp.sum(b * b, axis=-1, keepdims=True) + 1e-10)
+        d = (a - b) ** 2
+        total = total + jnp.mean(jnp.sum(d * lin, axis=-1), axis=(1, 2))
+    return total[0] if squeeze else total
+
+
+class LPIPS:
+    """Convenience wrapper: `lpips = LPIPS(); lpips(img1, img2)`."""
+
+    def __init__(self, weights_file: str | None = None, key=None):
+        self.params = init_lpips(key=key, weights_file=weights_file)
+        self._fn = jax.jit(functools.partial(lpips_distance, self.params))
+
+    def __call__(self, img1, img2):
+        return self._fn(img1, img2)

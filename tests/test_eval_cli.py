@@ -1,0 +1,154 @@
+"""LPIPS, metrics, checkpointing and CLI smoke tests."""
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mygauhuman_tpu.eval.lpips import LPIPS, lpips_distance, init_lpips
+from mygauhuman_tpu.eval.metrics import evaluate_images
+
+
+class TestLPIPS:
+    def test_zero_for_identical(self):
+        lp = LPIPS()
+        img = jnp.asarray(np.random.RandomState(0).rand(32, 32, 3), jnp.float32)
+        assert float(lp(img, img)) < 1e-6
+
+    def test_positive_and_ordered(self):
+        lp = LPIPS()
+        rng = np.random.RandomState(0)
+        img = jnp.asarray(rng.rand(32, 32, 3), jnp.float32)
+        near = jnp.clip(img + 0.02 * rng.randn(32, 32, 3).astype(np.float32), 0, 1)
+        far = jnp.asarray(rng.rand(32, 32, 3), jnp.float32)
+        d_near = float(lp(img, near))
+        d_far = float(lp(img, far))
+        assert 0 < d_near < d_far
+
+    def test_batched(self):
+        lp = LPIPS()
+        a = jnp.zeros((2, 16, 16, 3))
+        b = jnp.ones((2, 16, 16, 3)) * 0.5
+        d = lp(a, b)
+        assert d.shape == (2,)
+
+    def test_gradient_flows(self):
+        params = init_lpips()
+        target = jnp.zeros((16, 16, 3))
+        g = jax.grad(
+            lambda x: lpips_distance(params, x, target)
+        )(jnp.full((16, 16, 3), 0.5))
+        assert bool(jnp.any(g != 0)) and bool(jnp.all(jnp.isfinite(g)))
+
+
+class TestMetrics:
+    def test_evaluate_images(self):
+        rng = np.random.RandomState(0)
+        gt = [rng.rand(16, 16, 3).astype(np.float32) for _ in range(2)]
+        good = [np.clip(g + 0.01, 0, 1) for g in gt]
+        res = evaluate_images(good, gt)
+        assert res["psnr"] > 30
+        assert 0.9 < res["ssim"] <= 1.0
+        assert len(res["per_image"]) == 2
+
+
+class TestCheckpoint:
+    def test_round_trip(self, tmp_path):
+        from mygauhuman_tpu.config import Config, OptimizationConfig
+        from mygauhuman_tpu.data.synthetic import make_synthetic_scene
+        from mygauhuman_tpu.models.mlps import init_lbs_offset, init_pose_refiner
+        from mygauhuman_tpu.train.checkpoint import (
+            latest_step,
+            load_checkpoint,
+            save_checkpoint,
+        )
+        from mygauhuman_tpu.train.trainer import create_train_state
+
+        scene = make_synthetic_scene(n_views=1, width=32, height=32,
+                                     n_verts=60, capacity=64)
+        cfg = OptimizationConfig()
+        k = jax.random.PRNGKey(0)
+        ts, tx = create_train_state(
+            cfg, scene.init_state,
+            init_pose_refiner(k), init_lbs_offset(jax.random.PRNGKey(1)),
+        )
+        d = str(tmp_path / "ckpt")
+        save_checkpoint(d, 100, ts, Config(optim=cfg))
+        assert latest_step(d) == 100
+        assert os.path.exists(os.path.join(d, "cfg_args.json"))
+
+        ts_fresh, _ = create_train_state(
+            cfg, scene.init_state,
+            init_pose_refiner(jax.random.PRNGKey(9)),
+            init_lbs_offset(jax.random.PRNGKey(10)),
+        )
+        restored = load_checkpoint(d, 100, ts_fresh)
+        np.testing.assert_array_equal(
+            np.asarray(restored.gauss.params.xyz),
+            np.asarray(ts.gauss.params.xyz),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(restored.pose_refiner["layers"][0]["w"]),
+            np.asarray(ts.pose_refiner["layers"][0]["w"]),
+        )
+
+    def test_eval_cache_round_trip(self, tmp_path):
+        from mygauhuman_tpu.train.checkpoint import (
+            load_eval_cache,
+            save_eval_cache,
+        )
+
+        cache = {"0": {"transforms": np.random.rand(8, 3, 3),
+                       "translation": np.random.rand(8, 3)}}
+        p = str(tmp_path / "smpl_rot.npz")
+        save_eval_cache(p, cache)
+        back = load_eval_cache(p)
+        np.testing.assert_allclose(back["0"]["transforms"],
+                                   cache["0"]["transforms"])
+
+
+class TestCli:
+    def test_train_synthetic_and_render(self, tmp_path):
+        from mygauhuman_tpu.cli.train import main as train_main
+        from mygauhuman_tpu.cli.render import main as render_main
+
+        out = str(tmp_path / "exp")
+        result = train_main([
+            "--synthetic", "--synthetic_size", "48",
+            "--iterations", "20",
+            "--test_iterations", "20",
+            "--save_iterations", "20",
+            "--model_path", out,
+        ])
+        assert np.isfinite(result["final_loss"])
+        assert result["test_psnr"] > 10
+        assert os.path.exists(os.path.join(out, "point_cloud_20.ply"))
+        assert os.path.exists(os.path.join(out, "metrics.jsonl"))
+
+        metrics = render_main([
+            "--model_path", out, "--iteration", "20", "--synthetic",
+            "--synthetic_size", "48",
+        ])
+        assert metrics["psnr"] > 10
+        assert os.path.exists(os.path.join(out, "renders_20", "results.json"))
+
+    def test_metrics_cli(self, tmp_path):
+        import imageio.v2 as imageio
+
+        from mygauhuman_tpu.cli.metrics import main as metrics_main
+
+        r_dir = str(tmp_path / "renders")
+        g_dir = str(tmp_path / "gt")
+        os.makedirs(r_dir)
+        os.makedirs(g_dir)
+        rng = np.random.RandomState(0)
+        for i in range(2):
+            img = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+            imageio.imwrite(os.path.join(r_dir, f"{i}.png"), img)
+            imageio.imwrite(os.path.join(g_dir, f"{i}.png"), img)
+        out = str(tmp_path / "results.json")
+        res = metrics_main(["-r", r_dir, "-g", g_dir, "-o", out])
+        assert res["psnr"] > 50
+        assert os.path.exists(out)
