@@ -274,27 +274,27 @@ def blend_pallas_raw(
 
 
 # ----------------------------------------------------------------------------
-# Differentiable wrapper: Pallas forward, jnp-blend autodiff backward
+# Differentiable wrapper: Pallas forward, Pallas-kernel (or jnp) backward
 # ----------------------------------------------------------------------------
 
 from mygauhuman_tpu.ops.blend import BlendOutput, blend as _jnp_blend  # noqa: E402
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14, 15))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14, 15, 16))
 def blend_pallas(
     sorted_gid, starts, counts,
     means2d, conics, opacities, features, depths, bg,
     width, height, tile_w, tile_h, chunk_tiles, tile_capacity, interpret,
+    kernel_bwd,
 ) -> BlendOutput:
-    """Pallas forward with gradients defined by the jnp blend's autodiff.
-
-    Both paths compute the identical masked-cumprod math over the identical
-    K-truncated per-tile lists, so the jnp VJP is the exact gradient of the
-    kernel's forward (up to fp reassociation). `counts` must already be
-    capped at tile_capacity K by the caller. The jnp path's [T, K] id lists
-    are NOT taken as inputs (custom_vjp calls are opaque to DCE — passing
-    them would keep an 8ms dead gather alive in forward-only renders); the
-    backward rebuilds them from (sorted_gid, starts, counts).
+    """Pallas forward; backward via the Pallas backward kernel
+    (ops/pallas_blend_bwd.py) or, with kernel_bwd=False, the jnp blend's
+    autodiff (identical math either way — the parity tests assert it).
+    `counts` must already be capped at tile_capacity K by the caller. The
+    jnp path's [T, K] id lists are NOT taken as inputs (custom_vjp calls are
+    opaque to DCE — passing them would keep an 8ms dead gather alive in
+    forward-only renders); both backwards rebuild what they need from
+    (sorted_gid, starts, counts).
     """
     inst = build_instance_data(
         sorted_gid, starts, counts, means2d, conics, opacities, depths,
@@ -312,24 +312,82 @@ def _blend_pallas_fwd(
     sorted_gid, starts, counts,
     means2d, conics, opacities, features, depths, bg,
     width, height, tile_w, tile_h, chunk_tiles, tile_capacity, interpret,
+    kernel_bwd,
 ):
     out = blend_pallas(
         sorted_gid, starts, counts,
         means2d, conics, opacities, features, depths, bg,
         width, height, tile_w, tile_h, chunk_tiles, tile_capacity, interpret,
+        kernel_bwd,
     )
     res = (sorted_gid, starts, counts, means2d, conics, opacities, features,
-           depths, bg)
+           depths, bg, out.final_t)
     return out, res
+
+
+def _tile_major(x, th, tw, tile_h, tile_w):
+    """[H, W, C] -> [T, P, C] (inverse of blend_pallas_raw's assemble)."""
+    H, W = x.shape[:2]
+    pad_h = th * tile_h - H
+    pad_w = tw * tile_w - W
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, pad_h), (0, pad_w), (0, 0)))
+    x = x.reshape(th, tile_h, tw, tile_w, x.shape[-1])
+    return x.transpose(0, 2, 1, 3, 4).reshape(th * tw, tile_h * tile_w, -1)
 
 
 def _blend_pallas_bwd(
     width, height, tile_w, tile_h, chunk_tiles, tile_capacity, interpret,
-    res, g,
+    kernel_bwd, res, g,
 ):
     (sorted_gid, starts, counts, means2d, conics, opacities, features,
-     depths, bg) = res
-    # Rebuild the jnp blend's [T, K] per-tile lists (bwd-only gather).
+     depths, bg, final_t) = res
+    n = means2d.shape[0]
+    c = features.shape[-1]
+
+    # bg coupling: color = raw + final_t * bg
+    dbg = jnp.einsum("hw,hwc->c", final_t, g.image)
+    g_final_t_eff = g.final_t + jnp.einsum("hwc,c->hw", g.image, bg)
+
+    if kernel_bwd:
+        from mygauhuman_tpu.ops.pallas_blend_bwd import blend_pallas_bwd_raw
+
+        tw = -(-width // tile_w)
+        th = -(-height // tile_h)
+        c_pad = -(-c // 8) * 8
+        cot = jnp.concatenate(
+            [
+                g.image,
+                jnp.zeros(g.image.shape[:2] + (c_pad - c,), jnp.float32),
+                g.alpha[..., None],
+                g.depth[..., None],
+                g_final_t_eff[..., None],
+            ],
+            axis=-1,
+        )
+        cot_tiles = _tile_major(cot, th, tw, tile_h, tile_w)
+
+        inst = build_instance_data(
+            sorted_gid, starts, counts, means2d, conics, opacities, depths,
+            features,
+        )
+        grads = blend_pallas_bwd_raw(
+            inst.data, starts, counts, cot_tiles,
+            width=width, height=height, tile_w=tile_w, tile_h=tile_h,
+            interpret=interpret,
+        )                                           # [8 + c_pad, NS_pad]
+        ns = sorted_gid.shape[0]
+        grads = grads[:, :ns]                       # drop lane padding
+        # deterministic per-gaussian reduction (no atomics)
+        per_g = jax.ops.segment_sum(grads.T, sorted_gid, num_segments=n)
+        dm2 = per_g[:, 0:2]
+        dcon = per_g[:, 2:5]
+        dop = per_g[:, 5]
+        ddep = per_g[:, 6]
+        dfeat = per_g[:, HDR:HDR + c]
+        return (None, None, None, dm2, dcon, dop, dfeat, ddep, dbg)
+
+    # jnp-autodiff fallback: rebuild the [T, K] lists and replay
     K = tile_capacity
     ns = sorted_gid.shape[0]
     k = jnp.arange(K, dtype=jnp.int32)[None, :]
@@ -346,8 +404,8 @@ def _blend_pallas_bwd(
 
     _, vjp = jax.vjp(ref_blend, means2d, conics, opacities, features,
                      depths, bg)
-    dm2, dcon, dop, dfeat, ddep, dbg = vjp(BlendOutput(*g))
-    return (None, None, None, dm2, dcon, dop, dfeat, ddep, dbg)
+    dm2, dcon, dop, dfeat, ddep, dbg2 = vjp(BlendOutput(*g))
+    return (None, None, None, dm2, dcon, dop, dfeat, ddep, dbg2)
 
 
 blend_pallas.defvjp(_blend_pallas_fwd, _blend_pallas_bwd)

@@ -1,0 +1,297 @@
+"""Pallas TPU blend BACKWARD kernel.
+
+Replaces the jnp-blend autodiff backward (dense [T, K, P] rematerialization)
+with a recompute-based two-pass kernel mirroring the reference CUDA backward
+(backward.cu:399-587) in TPU form:
+
+  pass 1 (front-to-back): recompute per-chunk alphas, record each chunk's
+    starting log-transmittance in VMEM scratch (the `final_T` residual
+    generalized per chunk; no n_contrib bookkeeping needed — see
+    ops/blend.py for the early-termination equivalence argument).
+  pass 2 (back-to-front): recompute alphas, reconstruct T_before from the
+    recorded log T, and accumulate
+       dL/da_i = T_i q_i - (S_i + T_final g_T) / (1 - a_i)
+    where q_i = f_i.g_color + g_alpha + depth_i g_depth and S_i is the
+    suffix sum of w_j q_j over later instances (reverse lane-cumsum within
+    the chunk + a carry across chunks) — the same suffix-accumulation trick
+    as the CUDA back-to-front replay, vectorized over lanes.
+
+Per-instance gradients are written to an instance-major [G, NS] matrix with
+read-modify-write DMAs (chunk-aligned windows can overlap the neighboring
+tile's lanes; the sequential grid makes RMW exact), then segment-summed by
+Gaussian id OUTSIDE the kernel — deterministic, no atomics
+(SURVEY.md §7.3 "atomic-free deterministic gradient reduction").
+
+Gradient-row layout (G = 8 + C, matching the forward's input layout):
+  0 d_x | 1 d_y | 2 d_cxx | 3 d_cxy | 4 d_cyy | 5 d_op | 6 d_depth | 7 pad
+  | 8.. d_feat
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mygauhuman_tpu.ops.pallas_blend import HDR, LANE, _lane_cumsum
+
+
+def _lane_reverse_cumsum_exclusive(x: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive suffix sum along lanes: out[i] = sum_{j>i} x[j]."""
+    total = jnp.sum(x, axis=1, keepdims=True)
+    inclusive = _lane_cumsum(x)          # sum_{j<=i}
+    return total - inclusive
+
+
+def _blend_bwd_kernel(
+    starts_ref, counts_ref,       # scalar prefetch
+    data_ref,                     # [D, NS] instance data in HBM (ANY)
+    cot_ref,                      # [TB, P, c_out] cotangents block per step
+    grad_init_ref,                # zero-init input, aliased to grad_ref
+    grad_ref,                     # [G, NS] instance grads in HBM (ANY), RMW
+    chunk_buf, gbuf, logt_buf, sem, sem2,
+    *,
+    tile_w: int,
+    tile_h: int,
+    tiles_x: int,
+    n_feat: int,
+    chunk: int,
+    tiles_per_step: int,
+    max_chunks: int,
+):
+    P = tile_w * tile_h
+    pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    pix_x = (pix % tile_w).astype(jnp.float32)
+    pix_y = (pix // tile_w).astype(jnp.float32)
+
+    def one_tile(ti):
+        t = pl.program_id(0) * tiles_per_step + ti
+        start = starts_ref[t]
+        count = counts_ref[t]
+        base0 = (start // chunk) * chunk
+        offset = start - base0
+        n_chunks = pl.cdiv(offset + count, chunk)
+
+        x0 = ((t % tiles_x) * tile_w).astype(jnp.float32)
+        y0 = ((t // tiles_x) * tile_h).astype(jnp.float32)
+        px = x0 + pix_x
+        py = y0 + pix_y
+
+        # cotangents for this tile
+        g_color = cot_ref[ti, :, :n_feat]                  # [P, C]
+        g_alpha = cot_ref[ti, :, n_feat:n_feat + 1]        # [P, 1]
+        g_depth = cot_ref[ti, :, n_feat + 1:n_feat + 2]
+        g_final_t = cot_ref[ti, :, n_feat + 2:n_feat + 3]
+
+        def load_chunk(ci):
+            base = pl.multiple_of(base0 + ci * chunk, chunk)
+            dma = pltpu.make_async_copy(
+                data_ref.at[:, pl.ds(base, chunk)], chunk_buf, sem
+            )
+            dma.start()
+            dma.wait()
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+            glane = ci * chunk + lane
+            in_range = (
+                (glane >= offset) & (glane < offset + count)
+            ).astype(jnp.float32)
+            xy_x = chunk_buf[0:1, :]
+            xy_y = chunk_buf[1:2, :]
+            cxx = chunk_buf[2:3, :]
+            cxy = chunk_buf[3:4, :]
+            cyy = chunk_buf[4:5, :]
+            op = chunk_buf[5:6, :]
+            dx = xy_x - px
+            dy = xy_y - py
+            power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
+            raw = op * jnp.exp(power)
+            alpha = jnp.minimum(0.99, raw)
+            ok = (power <= 0.0) & (alpha >= 1.0 / 255.0)
+            a = jnp.where(ok, alpha, 0.0) * in_range
+            return a, (dx, dy, power, raw, ok, in_range)
+
+        # ---- pass 1: record per-chunk starting log T
+        def fwd_body(ci, log_t):
+            logt_buf[ci, :] = log_t[:, 0]
+            a, _ = load_chunk(ci)
+            l1ma = jnp.log1p(-a)
+            cum = _lane_cumsum(l1ma) + log_t
+            include = (a > 0.0) & (jnp.exp(cum) >= 1e-4)
+            return log_t + jnp.sum(jnp.where(include, l1ma, 0.0), axis=1,
+                                   keepdims=True)
+
+        zero1 = jnp.zeros((P, 1), jnp.float32)
+        log_t_final = jax.lax.fori_loop(0, n_chunks, fwd_body, zero1)
+        final_t = jnp.exp(log_t_final)                      # [P, 1]
+        tail = final_t * g_final_t                          # [P, 1]
+
+        # ---- pass 2: back-to-front gradient accumulation
+        def bwd_body(k, s_carry):
+            ci = n_chunks - 1 - k
+            a, (dx, dy, power, raw, ok, in_range) = load_chunk(ci)
+            l1ma = jnp.log1p(-a)
+            log_t_start = logt_buf[ci, :][:, None]          # [P, 1]
+            cum = _lane_cumsum(l1ma) + log_t_start
+            t_after = jnp.exp(cum)
+            t_before = jnp.exp(cum - l1ma)
+            include = (a > 0.0) & (t_after >= 1e-4)
+            w = jnp.where(include, a * t_before, 0.0)       # [P, chunk]
+
+            feat = chunk_buf[HDR:, :]                       # [Cp, chunk]
+            dep = chunk_buf[6:7, :]
+            # q = f.g_color + g_alpha + depth*g_depth : [P, chunk]
+            q = jax.lax.dot_general(
+                g_color, feat,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + g_alpha + dep * g_depth
+            wq = w * q
+
+            s_local = _lane_reverse_cumsum_exclusive(wq)    # [P, chunk]
+            s_total = s_local + s_carry                     # + later chunks
+
+            one_m_a = jnp.maximum(1.0 - a, 1e-6)
+            # gate the whole gradient by `include`: non-included instances
+            # have w == 0, are outside final_t's product, and (by the
+            # monotone-T argument) only feed other non-included instances —
+            # their exact autodiff gradient is zero.
+            da = jnp.where(
+                include,
+                t_before * q - (s_total + tail) / one_m_a,
+                0.0,
+            )
+
+            # chain through a = min(0.99, op*exp(power)), gated by ok
+            live = (raw < 0.99) & ok & (in_range > 0)
+            d_raw = jnp.where(live, da, 0.0)
+            op = chunk_buf[5:6, :]
+            cxx = chunk_buf[2:3, :]
+            cxy = chunk_buf[3:4, :]
+            cyy = chunk_buf[4:5, :]
+            e_p = jnp.exp(power)
+            d_op_px = d_raw * e_p                            # [P, chunk]
+            d_power = d_raw * op * e_p
+            d_dx = d_power * (-(cxx * dx + cxy * dy))
+            d_dy = d_power * (-(cyy * dy + cxy * dx))
+            d_cxx = d_power * (-0.5 * dx * dx)
+            d_cxy = d_power * (-dx * dy)
+            d_cyy = d_power * (-0.5 * dy * dy)
+
+            # per-instance reductions (sum over pixels)
+            def psum(x):
+                return jnp.sum(x, axis=0, keepdims=True)     # [1, chunk]
+
+            # feature grads: [Cp, chunk] = g_color^T @ w
+            d_feat = jax.lax.dot_general(
+                g_color, w,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            d_dep = psum(w * g_depth)
+
+            gbuf[0:1, :] = psum(d_dx)
+            gbuf[1:2, :] = psum(d_dy)
+            gbuf[2:3, :] = psum(d_cxx)
+            gbuf[3:4, :] = psum(d_cxy)
+            gbuf[4:5, :] = psum(d_cyy)
+            gbuf[5:6, :] = psum(d_op_px)
+            gbuf[6:7, :] = d_dep
+            gbuf[7:8, :] = jnp.zeros((1, chunk), jnp.float32)
+            gbuf[HDR:, :] = d_feat
+
+            # read-modify-write accumulate into the global instance grads
+            base = pl.multiple_of(base0 + ci * chunk, chunk)
+            rd = pltpu.make_async_copy(
+                grad_ref.at[:, pl.ds(base, chunk)], chunk_buf, sem2
+            )
+            rd.start()
+            rd.wait()
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+            glane = ci * chunk + lane
+            mask = (glane >= offset) & (glane < offset + count)
+            chunk_buf[...] = chunk_buf[...] + jnp.where(mask, gbuf[...], 0.0)
+            wr = pltpu.make_async_copy(
+                chunk_buf, grad_ref.at[:, pl.ds(base, chunk)], sem2
+            )
+            wr.start()
+            wr.wait()
+
+            return s_carry + jnp.sum(wq, axis=1, keepdims=True)
+
+        jax.lax.fori_loop(0, n_chunks, bwd_body, zero1)
+
+    for ti in range(tiles_per_step):
+        one_tile(ti)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "tile_w", "tile_h", "chunk",
+                     "interpret"),
+)
+def blend_pallas_bwd_raw(
+    data: jnp.ndarray,       # [D, NS] forward instance matrix (padded)
+    starts: jnp.ndarray,     # [T]
+    counts: jnp.ndarray,     # [T] (K-capped)
+    cotangents: jnp.ndarray,  # [T, P, c_out] tile-major (g_color, g_a, g_d, g_T)
+    *,
+    width: int,
+    height: int,
+    tile_w: int = 16,
+    tile_h: int = 16,
+    chunk: int = 2 * LANE,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run the backward kernel -> instance-major grads [G, NS]."""
+    tw = -(-width // tile_w)
+    th = -(-height // tile_h)
+    T = tw * th
+    P = tile_w * tile_h
+    D = data.shape[0]
+    n_feat = D - HDR
+    c_out = n_feat + 3
+    NS = data.shape[1]
+    max_chunks = NS // chunk + 1
+
+    TB = 8
+    while T % TB:
+        TB //= 2
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T // TB,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),       # data
+            pl.BlockSpec(
+                (TB, P, c_out), lambda t, *_: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),                                       # cotangents
+            pl.BlockSpec(memory_space=pl.ANY),       # zero-init grads (alias)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),  # grads stay in HBM
+        scratch_shapes=[
+            pltpu.VMEM((D, chunk), jnp.float32),      # chunk_buf (data+RMW)
+            pltpu.VMEM((D, chunk), jnp.float32),      # gbuf (grad staging)
+            pltpu.VMEM((max_chunks, P), jnp.float32),  # per-chunk log T
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kernel = functools.partial(
+        _blend_bwd_kernel, tile_w=tile_w, tile_h=tile_h, tiles_x=tw,
+        n_feat=n_feat, chunk=chunk, tiles_per_step=TB, max_chunks=max_chunks,
+    )
+    zeros = jnp.zeros((D, NS), jnp.float32)
+    # alias the zeros input to the output: the kernel accumulates into it
+    # with read-modify-write DMAs (indices count scalar-prefetch args first)
+    grads = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((D, NS), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        input_output_aliases={4: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(starts, counts, data, cotangents, zeros)
+    return grads

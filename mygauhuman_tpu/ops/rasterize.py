@@ -36,6 +36,7 @@ class RasterizerConfig(NamedTuple):
     chunk_tiles: int = 64
     use_pallas: bool = False      # Pallas blend kernel (TPU); jnp otherwise
     pallas_interpret: bool = False  # interpret-mode Pallas (CPU testing)
+    pallas_kernel_bwd: bool = True  # Pallas backward kernel (vs jnp autodiff)
 
 
 class RasterizeOutput(NamedTuple):
@@ -110,6 +111,7 @@ def rasterize(
             config.chunk_tiles,
             config.tile_capacity,
             config.pallas_interpret,
+            config.pallas_kernel_bwd,
         )
     else:
         out = blend(

@@ -50,7 +50,7 @@ def run_both(seed=0, bg_val=0.3):
     counts = jnp.minimum(bins.counts, K)
     got = blend_pallas(
         bins.sorted_gid, bins.starts, counts, *args,
-        W, H, 16, 16, 64, K, True,   # interpret=True
+        W, H, 16, 16, 64, K, True, True,   # interpret, kernel_bwd
     )
     return ref, got, (bins, args)
 
@@ -76,7 +76,8 @@ class TestPallasForwardParity:
 
 
 class TestPallasGradParity:
-    def test_grads_match_jnp(self):
+    @pytest.mark.parametrize("kernel_bwd", [False, True])
+    def test_grads_match_jnp(self, kernel_bwd):
         means3d, cov6, opac, feats, cam = make_inputs(0)
         proj = preprocess(means3d, cov6, cam.w2c, cam.full_proj, W, H,
                           cam.tan_fovx, cam.tan_fovy)
@@ -93,7 +94,8 @@ class TestPallasGradParity:
         def loss_pal(m2, con, op, feat):
             out = blend_pallas(bins.sorted_gid, bins.starts, counts,
                                m2, con, op, feat,
-                               proj.depths, bg, W, H, 16, 16, 64, K, True)
+                               proj.depths, bg, W, H, 16, 16, 64, K,
+                               True, kernel_bwd)
             return jnp.sum(out.image**2) + jnp.sum(out.alpha)
 
         args = (proj.means2d, proj.conics, opac, feats)
@@ -121,3 +123,42 @@ class TestRasterizePallasPath:
                         **common)
         np.testing.assert_allclose(np.asarray(got.image),
                                    np.asarray(ref.image), atol=1e-5)
+
+
+class TestKernelBwdFullCotangents:
+    @pytest.mark.parametrize("kernel_bwd", [False, True])
+    def test_all_output_paths(self, kernel_bwd):
+        """Loss touches image, alpha, depth AND final_t, with bg != 0, so
+        every cotangent path (incl. the bg coupling) is exercised."""
+        means3d, cov6, opac, feats, cam = make_inputs(3)
+        proj = preprocess(means3d, cov6, cam.w2c, cam.full_proj, W, H,
+                          cam.tan_fovx, cam.tan_fovy)
+        bins = bin_gaussians(proj.means2d, proj.radii, proj.depths,
+                             proj.visible, width=W, height=H, tile_capacity=K)
+        counts = jnp.minimum(bins.counts, K)
+        bg0 = jnp.linspace(0.1, 0.9, C)
+
+        def loss_ref(m2, con, op, feat, dep, bgc):
+            out = blend(bins.idx, bins.valid, m2, con, op, feat, dep, bgc,
+                        width=W, height=H)
+            return (jnp.sum(out.image**2) + jnp.sum(out.alpha**2)
+                    + jnp.sum(out.depth**2) + jnp.sum(out.final_t**2))
+
+        def loss_pal(m2, con, op, feat, dep, bgc):
+            out = blend_pallas(bins.sorted_gid, bins.starts, counts,
+                               m2, con, op, feat, dep, bgc,
+                               W, H, 16, 16, 64, K, True, kernel_bwd)
+            return (jnp.sum(out.image**2) + jnp.sum(out.alpha**2)
+                    + jnp.sum(out.depth**2) + jnp.sum(out.final_t**2))
+
+        args = (proj.means2d, proj.conics, opac, feats, proj.depths, bg0)
+        g_ref = jax.grad(loss_ref, argnums=tuple(range(6)))(*args)
+        g_pal = jax.grad(loss_pal, argnums=tuple(range(6)))(*args)
+        for name, a, b in zip(
+            ["means2d", "conics", "opac", "feats", "depths", "bg"],
+            g_ref, g_pal,
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=2e-4, rtol=2e-4,
+                err_msg=name,
+            )
