@@ -152,3 +152,20 @@ def densify_grad_scale(width: int, height: int) -> jnp.ndarray:
     densify_grad_threshold = 2e-4.
     """
     return jnp.array([0.5 * width, 0.5 * height], jnp.float32)
+
+
+def mark_visible(
+    means3d: jnp.ndarray, w2c: jnp.ndarray, full_proj: jnp.ndarray,
+    znear: float = 0.2,
+) -> jnp.ndarray:
+    """Frustum visibility test [N] bool without rendering.
+
+    Parity: GaussianRasterizer.markVisible
+    (diff_gaussian_rasterization/__init__.py:201-213) / in_frustum
+    (auxiliary.h:139-164): camera-space z > znear.
+    """
+    hom = jnp.concatenate(
+        [means3d, jnp.ones_like(means3d[:, :1])], axis=-1
+    )
+    cam = hom @ w2c.T
+    return cam[:, 2] > znear

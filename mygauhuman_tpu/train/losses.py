@@ -178,3 +178,19 @@ def gaussian_entropy(x: jnp.ndarray, bins: int = 15) -> jnp.ndarray:
     hn = jnp.where(total[None] > eps, h / (total[None] + 1e-12) + eps,
                    jnp.ones_like(h))
     return jnp.sum(-hn * jnp.log(hn))
+
+
+def predicted_normal_loss(
+    normal: jnp.ndarray,      # [H, W, 3] predicted (unit or near-unit)
+    normal_ref: jnp.ndarray,  # [H, W, 3] reference normals
+    weight: jnp.ndarray | None = None,   # [H, W] e.g. eroded alpha
+) -> jnp.ndarray:
+    """Ref-NeRF predicted-normal penalty: w * (1 - n.n_ref), mean.
+
+    Parity: utils/loss_utils.py predicted_normal_loss (:68-93) — shipped but
+    unused by the reference training loop; provided for API completeness.
+    """
+    if weight is None:
+        weight = jnp.ones(normal.shape[:2], normal.dtype)
+    dot = jnp.sum(normal * jax.lax.stop_gradient(normal_ref), axis=-1)
+    return jnp.mean(weight * (1.0 - dot))
