@@ -227,9 +227,11 @@ def blend_pallas_raw(
     n_feat = D - HDR             # padded feature count (multiple of 8)
     c_out = n_feat + 3
 
-    TB = 32                       # tiles per grid step
+    # tiles per grid step: amortize per-step overhead, bounded by a ~4 MB
+    # VMEM budget for the [TB, P, c_out] out block
+    TB = min(32, max(1, (4 * 1024 * 1024) // (P * c_out * 4)))
     while T % TB:
-        TB //= 2
+        TB -= 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T // TB,),
@@ -253,6 +255,9 @@ def blend_pallas_raw(
         out_shape=jax.ShapeDtypeStruct((T, P, c_out), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(inst.starts, inst.counts, inst.data)
 
     color = tiles_out[..., :n_channels]
