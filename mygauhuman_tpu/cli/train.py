@@ -184,11 +184,46 @@ def main(argv=None) -> dict:
             save_eval_cache(os.path.join(out_dir, f"smpl_rot_{it}.npz"),
                             eval_cache)
 
+    phase_a_iters = min(cfg.iterations, cfg.pbr_iteration)
     ts, metrics = train_loop(
         ts, tx, step_fn, train_batches, cfg,
         extent=extent, smpl_vertices=smpl_vertices,
         max_sh_degree=args.sh_degree, seed=args.seed, callback=callback,
+        num_iterations=phase_a_iters,
     )
+
+    if cfg.iterations > cfg.pbr_iteration:
+        # PBR phase (branch B): bake occlusion per camera, optimize
+        # materials + cubemap light (train.py:294-363)
+        from mygauhuman_tpu.train.pbr import (
+            create_pbr_state,
+            make_pbr_train_step,
+            train_loop_pbr,
+        )
+
+        pbr_state, light_tx = create_pbr_state(cfg)
+        pbr_step = make_pbr_train_step(
+            smpl_model, tx, light_tx, cfg, raster_cfg, bg=bg
+        )
+
+        def pbr_callback(it, ts2, pbr2, m):
+            nonlocal last_psnr
+            if it % 100 == 0:
+                logger.log(it, m, prefix="pbr")
+            if it in args.test_iterations:
+                last_psnr = run_eval(it, ts2)
+            if it in args.save_iterations:
+                save_checkpoint(out_dir, it, (ts2, pbr2), Config(optim=cfg))
+                save_ply(ts2.gauss,
+                         os.path.join(out_dir, f"point_cloud_{it}.ply"))
+
+        ts, pbr_state, metrics = train_loop_pbr(
+            ts, pbr_state, pbr_step, train_batches, smpl_model, cfg,
+            start_iteration=phase_a_iters,
+            num_iterations=cfg.iterations - phase_a_iters,
+            max_sh_degree=args.sh_degree, seed=args.seed,
+            callback=pbr_callback,
+        )
     elapsed = time.time() - start
     print(f"training done: {cfg.iterations} iters in {elapsed:.1f}s "
           f"({int(ts.gauss.num_alive)} gaussians)")

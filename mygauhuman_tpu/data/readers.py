@@ -180,11 +180,12 @@ def read_cameras_zju(
     smpl_model,
     image_scaling: float = 0.5,
     split: str = "train",
+    schedule: tuple | None = None,
 ) -> list:
     import cv2
     import imageio.v2 as imageio
 
-    pose_start, pose_interval, pose_num = (
+    pose_start, pose_interval, pose_num = schedule or (
         (0, 10, 50) if split == "train" else (0, 30, 17)
     )
 
@@ -504,6 +505,9 @@ def load_scene_info(
     if "monocap" in source_path.lower():
         return read_monocap_info(source_path, white_background, output_path,
                                  eval, smpl_model)
+    if "render" in source_path.lower() or "mixamo" in source_path.lower():
+        return read_render_info(source_path, white_background, output_path,
+                                eval, smpl_model)
     if source_path.endswith(".smc") or "dna_rendering" in source_path.lower():
         from mygauhuman_tpu.data.dna_rendering import read_dna_rendering_info
 
@@ -567,3 +571,92 @@ def zju_normal_reencode(gt_normal: np.ndarray) -> np.ndarray:
     n = gt_normal * 2.0 - 1.0
     n[..., 2] = -n[..., 2]
     return (n + 1.0) / 2.0
+
+
+# ----------------------------------------------------------------------------
+# Render / mixamo dataset (dataset_readers.py:792-996) — ZJU layout with a
+# different view split and pose schedule
+# ----------------------------------------------------------------------------
+
+def read_render_info(
+    path: str, white_background: bool, output_path: str, eval: bool,
+    smpl_model=None,
+) -> SceneInfo:
+    smpl_model = smpl_model or _default_smpl()
+    train_view = [1, 4, 7, 9]
+    test_view = [0, 2, 5, 8]
+    train = read_cameras_zju(path, train_view, white_background, smpl_model,
+                             split="train", schedule=(0, 2, 50))
+    test = read_cameras_zju(path, test_view, white_background, smpl_model,
+                            split="test", schedule=(0, 5, 20))
+    if not eval:
+        train.extend(test)
+        test = []
+    return _finish_scene(train, test, output_path, train_view)
+
+
+# ----------------------------------------------------------------------------
+# Novel-view orbit cameras (get_camera_extrinsics_* family,
+# dataset_readers.py:282-311, 522-551, 761-790)
+# ----------------------------------------------------------------------------
+
+def novel_view_extrinsics(
+    view_index: int,
+    camera_view_num: int = 36,
+    center: tuple = (0.0, 0.0, -0.8),
+    camera_distance: float = 3.0,
+) -> np.ndarray:
+    """[4, 4] w2c for an orbit around the subject (novel_view_vis path)."""
+    at = np.asarray(center, np.float64)
+    phi = np.pi + 2 * np.pi * view_index / camera_view_num + 1e-6
+    theta = np.pi / 2 + np.pi / 12 + 1e-6
+    eye = at + camera_distance * np.array([
+        np.sin(theta) * np.cos(phi),
+        np.sin(theta) * np.sin(phi),
+        np.cos(theta),
+    ])
+    up = np.array([0.0, 0.0, -1.0])
+
+    def norm(v):
+        return v / np.linalg.norm(v)
+
+    z = norm(at - eye)
+    x = norm(np.cross(z, up))
+    y = np.cross(x, z)
+    w2c = np.array([
+        [x[0], x[1], x[2], -np.dot(x, eye)],
+        [y[0], y[1], y[2], -np.dot(y, eye)],
+        [-z[0], -z[1], -z[2], np.dot(z, eye)],
+        [0.0, 0.0, 0.0, 1.0],
+    ])
+    # OpenGL -> COLMAP axis flip (dataset_readers.py:646)
+    flip = np.diag([1.0, -1.0, -1.0, 1.0])
+    return (flip @ w2c).astype(np.float32)
+
+
+def orbit_camera_infos(
+    template: CameraInfo, n_views: int = 36, camera_view_num: int = 36,
+) -> list:
+    """Novel-view CameraInfos orbiting the subject, reusing a template
+    frame's intrinsics and SMPL payloads (novel_view_vis parity)."""
+    out = []
+    for v in range(n_views):
+        w2c = novel_view_extrinsics(v, camera_view_num)
+        info = CameraInfo(
+            uid=v, pose_id=template.pose_id,
+            R=np.transpose(w2c[:3, :3]), T=w2c[:3, 3],
+            K=template.K, FovY=template.FovY, FovX=template.FovX,
+            image=template.image, image_path=template.image_path,
+            image_name=f"novel_{v:03d}", width=template.width,
+            height=template.height, normal=template.normal,
+            bkgd_mask=template.bkgd_mask, bound_mask=template.bound_mask,
+            smpl_param=template.smpl_param,
+            world_vertex=template.world_vertex,
+            world_bound=template.world_bound,
+            big_pose_smpl_param=template.big_pose_smpl_param,
+            big_pose_world_vertex=template.big_pose_world_vertex,
+            big_pose_world_bound=template.big_pose_world_bound,
+            smpl_normal=template.smpl_normal,
+        )
+        out.append(info)
+    return out

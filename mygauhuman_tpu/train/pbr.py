@@ -269,3 +269,78 @@ def make_pbr_train_step(
         return new_ts, new_pbr, metrics
 
     return step
+
+
+def train_loop_pbr(
+    ts: TrainState,
+    pbr_state: PbrState,
+    step_fn,
+    batches: list,
+    smpl_model: SMPLModel,
+    cfg: OptimizationConfig,
+    *,
+    start_iteration: int,
+    num_iterations: int,
+    max_sh_degree: int = 3,
+    seed: int = 0,
+    bake_height: int = 16,
+    bake_width: int = 32,
+    callback=None,
+):
+    """PBR-phase loop (train.py iter > pbr_iteration): per-camera occlusion
+    maps are baked once on first visit (view.set_occlusion parity,
+    gaussian_renderer/__init__.py:152-160) and modulated by the CURRENT
+    grayscale envmap each step (train.py:196-198)."""
+    import numpy as np
+
+    from mygauhuman_tpu.occlusion.baking import bake_occlusion, occlusion_color
+    from mygauhuman_tpu.pbr.light import export_envmap
+    from mygauhuman_tpu.render import render_frame
+
+    host_rng = np.random.RandomState(seed + 7)
+    knn3 = compute_knn3(ts.gauss)
+    occ_cache: dict = {}
+    stack: list = []
+    metrics: dict = {}
+
+    for it in range(start_iteration + 1, start_iteration + num_iterations + 1):
+        if not stack:
+            stack = list(range(len(batches)))
+        bi = stack.pop(host_rng.randint(len(stack)))
+        batch = batches[bi]
+
+        if bi not in occ_cache:
+            # bake this camera's per-Gaussian visibility envmaps once
+            out = render_frame(
+                ts.gauss, batch.camera, batch.frame, smpl_model,
+                bg=jnp.zeros(3),
+                active_sh_degree=min(it // 1000, max_sh_degree),
+                mlp_params={"pose_refiner": ts.pose_refiner,
+                            "lbs_offset": ts.lbs_offset},
+            )
+            cov6 = G.get_covariance6(ts.gauss.params, 1.0, out.transforms)
+            means_posed = jnp.einsum(
+                "nij,nj->ni", out.transforms, ts.gauss.params.xyz
+            ) + out.translation
+            world_nrm = jnp.einsum(
+                "nij,nj->ni", out.transforms, ts.gauss.params.normal
+            )
+            occ_cache[bi] = jax.lax.stop_gradient(bake_occlusion(
+                means_posed, cov6,
+                G.get_opacity(ts.gauss.params)[:, 0],
+                world_nrm,
+                ts.gauss.alive,
+                height=bake_height, width=bake_width,
+            ))
+
+        env = export_envmap(pbr_state.light, bake_height, bake_width)
+        env_gray = jnp.mean(env, axis=-1, keepdims=True)
+        occ_col = occlusion_color(occ_cache[bi], env_gray)
+
+        deg = min(it // 1000, max_sh_degree)
+        ts, pbr_state, metrics = step_fn(
+            ts, pbr_state, batch, knn3, occ_col, deg
+        )
+        if callback is not None:
+            callback(it, ts, pbr_state, metrics)
+    return ts, pbr_state, metrics

@@ -322,3 +322,77 @@ class TestHelpers:
         mask = R.get_bound_2d_mask(bounds, K, pose, 32, 32)
         assert mask[16, 16] == 1.0
         assert mask[0, 0] == 0.0
+
+
+class TestRenderDatasetAndScene:
+    def test_render_reader(self, tmp_path):
+        # Render layout == ZJU layout with views [1,4,7,9]/[0,2,5,8],
+        # schedule (2,50)/(5,20)
+        root = str(tmp_path / "my_render_seq")
+        os.makedirs(root)
+        make_zju_fixture(root, n_views=10)
+        import imageio.v2 as imageio
+        for v in [0, 1, 2, 4, 5, 7, 8, 9]:
+            write_img(os.path.join(root, f"images/{v:02d}/000000.jpg"), 0.6)
+            write_img(os.path.join(root, f"normal/{v:02d}/000000.jpg"), 0.5)
+            write_img(os.path.join(root, f"mask/{v:02d}/000000.png"), 1.0,
+                      channels=1)
+        model = synthetic_smpl(num_vertices=100)
+        cwd = os.getcwd()
+        os.chdir(tmp_path)
+        try:
+            info = R.read_render_info(root, False, "test_exp", True,
+                                      smpl_model=model)
+        finally:
+            os.chdir(cwd)
+        assert len(info.train_cameras) == 50 * 4
+        assert len(info.test_cameras) == 20 * 4
+
+    def test_novel_view_orbit(self, tmp_path):
+        root = str(tmp_path / "my_zju_377")
+        os.makedirs(root)
+        make_zju_fixture(root)
+        model = synthetic_smpl(num_vertices=100)
+        cwd = os.getcwd()
+        os.chdir(tmp_path)
+        try:
+            info = R.read_zju_mocap_refine_info(root, False, "t", True,
+                                                smpl_model=model)
+        finally:
+            os.chdir(cwd)
+        orbits = R.orbit_camera_infos(info.train_cameras[0], n_views=6)
+        assert len(orbits) == 6
+        # orbit cameras sit ~3m from the pivot and are all distinct
+        centers = []
+        for o in orbits:
+            w2c = np.eye(4)
+            w2c[:3, :3] = o.R.T
+            w2c[:3, 3] = o.T
+            c2w = np.linalg.inv(w2c)
+            centers.append(c2w[:3, 3])
+        centers = np.stack(centers)
+        d = np.linalg.norm(centers - np.array([0, 0, -0.8]), axis=1)
+        np.testing.assert_allclose(d, 3.0, rtol=1e-4)
+        assert len(np.unique(np.round(centers, 4), axis=0)) == 6
+
+    def test_scene_class(self, tmp_path):
+        from mygauhuman_tpu.data.scene import Scene
+
+        root = str(tmp_path / "my_zju_377")
+        os.makedirs(root)
+        make_zju_fixture(root)
+        model = synthetic_smpl(num_vertices=100)
+        cwd = os.getcwd()
+        os.chdir(tmp_path)
+        try:
+            scene = Scene(root, "t", smpl_model=model, shuffle=True)
+        finally:
+            os.chdir(cwd)
+        assert len(scene.get_train_cameras()) == 200
+        assert len(scene.get_test_cameras()) == 17
+        assert int(scene.gaussians.num_alive) == 100
+        rays = scene.get_canonical_rays()
+        assert rays.shape == (16 * 16, 3)
+        # save/reload round trip
+        p = scene.save(str(tmp_path / "out"), 7)
+        assert os.path.exists(p)
