@@ -28,6 +28,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic_size", type=int, default=128)
     p.add_argument("--use_replay_cache", action="store_true",
                    help="replay cached LBS transforms (skip MLPs)")
+    p.add_argument("--relight", type=str, default="",
+                   help="lat-long envmap (image or .npy) for PBR relighting")
     return p
 
 
@@ -86,6 +88,26 @@ def main(argv=None) -> dict:
     os.makedirs(out_dir, exist_ok=True)
     bg = jnp.ones(3) if args.white_background else jnp.zeros(3)
 
+    # Novel-HDR relighting (render.py:74-94,130-152 path): load a lat-long
+    # envmap, lift to a cubemap light, split-sum shade the G-buffers.
+    relight = None
+    if args.relight:
+        from mygauhuman_tpu.pbr.cubemap import latlong_to_cubemap
+        from mygauhuman_tpu.pbr.light import build_mips
+        from mygauhuman_tpu.pbr.shade import get_brdf_lut, pbr_shading
+        from mygauhuman_tpu.train.pbr import R_MAX, R_MIN, canonical_view_dirs
+
+        if args.relight.endswith(".npy"):
+            latlong = np.load(args.relight).astype(np.float32)
+        else:
+            latlong = imageio.imread(args.relight).astype(np.float32)
+            if latlong.dtype == np.uint8 or latlong.max() > 2.0:
+                latlong = latlong / 255.0
+        light = build_mips(
+            {"base": latlong_to_cubemap(jnp.asarray(latlong[..., :3]), 32)}
+        )
+        relight = (light, get_brdf_lut())
+
     renders, gts = [], []
     start = time.time()
     for bi, batch in enumerate(batches):
@@ -103,6 +125,19 @@ def main(argv=None) -> dict:
             bg=bg, active_sh_degree=3, config=raster_cfg, **kwargs,
         )
         img = np.asarray(out.render)
+        if relight is not None:
+            light, brdf_lut = relight
+            shade = pbr_shading(
+                light=light,
+                normals=out.world_normal * 2.0 - 1.0,
+                view_dirs=canonical_view_dirs(batch.camera),
+                albedo=out.albedo,
+                roughness=out.roughness[..., None] * (R_MAX - R_MIN) + R_MIN,
+                mask=out.render_alpha[..., None],
+                occlusion=out.occlusion[..., 0:1],
+                brdf_lut=brdf_lut,
+            )
+            img = np.asarray(shade["render_rgb"])
         renders.append(img)
         gts.append(np.asarray(batch.gt_image))
         imageio.imwrite(

@@ -1,0 +1,105 @@
+"""Determinism + multi-chip equivalence — requirements with no reference
+analogue (SURVEY.md §4, §5.2): gradient reduction must be bitwise
+reproducible (segment-sums, not atomics), and the sharded batched step must
+match the unsharded one.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mygauhuman_tpu.config import OptimizationConfig
+from mygauhuman_tpu.data.synthetic import make_synthetic_scene
+from mygauhuman_tpu.models.mlps import init_lbs_offset, init_pose_refiner
+from mygauhuman_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    shard_tree,
+    state_sharding,
+)
+from mygauhuman_tpu.parallel.train import make_batched_train_step, stack_batches
+from mygauhuman_tpu.train.trainer import create_train_state, make_train_step
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene = make_synthetic_scene(n_views=2, width=32, height=32, n_verts=100,
+                                 capacity=128)
+    cfg = OptimizationConfig()
+    k = jax.random.PRNGKey(0)
+    ts, tx = create_train_state(
+        cfg, scene.init_state,
+        init_pose_refiner(k), init_lbs_offset(jax.random.PRNGKey(1)),
+    )
+    return scene, cfg, ts, tx
+
+
+class TestDeterminism:
+    def test_gradients_bitwise_reproducible(self, setup):
+        """The same train step twice from the same state must produce
+        BITWISE identical parameters (deterministic reductions — the CUDA
+        reference's atomicAdd backward is order-nondeterministic)."""
+        scene, cfg, ts, tx = setup
+        step_fn = make_train_step(scene.smpl_model, tx, cfg,
+                                  scene.raster_config, bg=jnp.zeros(3))
+        ts1, m1 = step_fn(ts, scene.batches[0], 0)
+        ts2, m2 = step_fn(ts, scene.batches[0], 0)
+        for a, b in zip(jax.tree_util.tree_leaves(ts1.gauss.params),
+                        jax.tree_util.tree_leaves(ts2.gauss.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert float(m1["loss"]) == float(m2["loss"])
+
+
+class TestMultichipEquivalence:
+    def test_sharded_step_matches_unsharded(self, setup):
+        """One batched step on an 8-device mesh == the same step without
+        sharding annotations (GSPMD must not change the math beyond fp
+        reduction order)."""
+        scene, cfg, ts, tx = setup
+        step_fn = make_batched_train_step(
+            scene.smpl_model, tx, cfg, scene.raster_config, bg=jnp.zeros(3)
+        )
+        batch = stack_batches(scene.batches)
+
+        ts_plain, m_plain = step_fn(ts, batch, 0)
+
+        mesh = make_mesh(n_data=2)
+        ts_sh = shard_tree(mesh, ts, state_sharding(mesh, ts,
+                                                    ts.gauss.capacity))
+        batch_sh = shard_tree(mesh, batch, batch_sharding(mesh, batch))
+        ts_mesh, m_mesh = step_fn(ts_sh, batch_sh, 0)
+
+        np.testing.assert_allclose(
+            float(m_mesh["loss"]), float(m_plain["loss"]), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(ts_mesh.gauss.params.xyz),
+            np.asarray(ts_plain.gauss.params.xyz),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(ts_mesh.gauss.xyz_grad_accum),
+            np.asarray(ts_plain.gauss.xyz_grad_accum),
+            atol=1e-5, rtol=1e-4,
+        )
+
+    def test_batched_step_equals_sum_of_singles(self, setup):
+        """Densify statistics from one batched step over B views equal the
+        sum of B sequential single-view steps (parallel/train.py contract)."""
+        scene, cfg, ts, tx = setup
+        single = make_train_step(scene.smpl_model, tx, cfg,
+                                 scene.raster_config, bg=jnp.zeros(3))
+        batched = make_batched_train_step(
+            scene.smpl_model, tx, cfg, scene.raster_config, bg=jnp.zeros(3)
+        )
+        ts_a, _ = single(ts, scene.batches[0], 0)
+        ts_a, _ = single(
+            ts_a._replace(gauss=ts_a.gauss, step=ts_a.step),
+            scene.batches[1], 0,
+        )
+        ts_b, _ = batched(ts, stack_batches(scene.batches), 0)
+        # stats accumulate identically (params differ: 2 Adam updates vs 1)
+        np.testing.assert_allclose(
+            np.asarray(ts_b.gauss.denom), np.asarray(ts_a.gauss.denom),
+            atol=1e-6,
+        )
