@@ -163,3 +163,25 @@ def geometry_freeze_mask(params: TrainableParams, frozen: jnp.ndarray):
         pose_refiner=fill(params.pose_refiner, dead),
         lbs_offset=fill(params.lbs_offset, dead),
     )
+
+
+def reset_opacity_moments(opt_state):
+    """Zero the Adam moments of the opacity group after an opacity reset.
+
+    Parity: replace_tensor_to_optimizer (gaussian_model.py:407-422) zeroes
+    exp_avg/exp_avg_sq for the replaced tensor. With multi_transform the
+    opacity group's state is isolated under inner_states['opacity'], so
+    zeroing its float leaves (keeping integer step counts) is exact.
+    """
+
+    def zero_floats(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jnp.zeros_like(x)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            tree,
+        )
+
+    inner = dict(opt_state.inner_states)
+    inner["opacity"] = zero_floats(inner["opacity"])
+    return opt_state._replace(inner_states=inner)

@@ -283,7 +283,12 @@ def train_loop(
             key, sub = jax.random.split(key)
             ts = densify_event(ts, sub, cfg, extent, smpl_vertices, it)
         if it % cfg.opacity_reset_interval == 0:
-            ts = ts._replace(gauss=G.reset_opacity(ts.gauss))
+            from mygauhuman_tpu.train.optim import reset_opacity_moments
+
+            ts = ts._replace(
+                gauss=G.reset_opacity(ts.gauss),
+                opt_state=reset_opacity_moments(ts.opt_state),
+            )
         if callback is not None:
             callback(it, ts, metrics)
     return ts, metrics
