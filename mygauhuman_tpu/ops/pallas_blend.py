@@ -121,15 +121,29 @@ def _blend_kernel(
     pix_y = (pix // tile_w).astype(jnp.float32)
 
     def one_tile(ti):
+        # program_id must be read OUTSIDE pl.when branches (inside a cond it
+        # gets hoisted as an unsupported jaxpr constant)
         t = pl.program_id(0) * tiles_per_step + ti
         start = starts_ref[t]
         count = counts_ref[t]
-        # DMA lane offsets must be 128-aligned: start from the chunk-aligned
-        # base below `start` and mask the prefix lanes.
+
+        # empty-tile fast path: ~90% of tiles have no instances; skip the
+        # loop machinery and write the background state directly
+        @pl.when(count == 0)
+        def _():
+            lanes = jax.lax.broadcasted_iota(
+                jnp.int32, (P, n_feat + 3), 1
+            )
+            out_ref[ti, :, :] = jnp.where(lanes == n_feat + 2, 1.0, 0.0)
+
+        @pl.when(count > 0)
+        def _():
+            _blend_nonempty(ti, t, start, count)
+
+    def _blend_nonempty(ti, t, start, count):
         base0 = (start // chunk) * chunk
         offset = start - base0
         n_chunks = pl.cdiv(offset + count, chunk)
-
         x0 = ((t % tiles_x) * tile_w).astype(jnp.float32)
         y0 = ((t // tiles_x) * tile_h).astype(jnp.float32)
         px = x0 + pix_x
@@ -144,12 +158,12 @@ def _blend_kernel(
             dma.start()
             dma.wait()
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-            glane = ci * chunk + lane           # lane index relative to base0
+            glane = ci * chunk + lane
             in_range = (
                 (glane >= offset) & (glane < offset + count)
             ).astype(jnp.float32)
 
-            xy_x = chunk_buf[0:1, :]              # [1, chunk]
+            xy_x = chunk_buf[0:1, :]
             xy_y = chunk_buf[1:2, :]
             cxx = chunk_buf[2:3, :]
             cxy = chunk_buf[3:4, :]
@@ -157,7 +171,7 @@ def _blend_kernel(
             op = chunk_buf[5:6, :]
             dep = chunk_buf[6:7, :]
 
-            dx = xy_x - px                        # [P, chunk]
+            dx = xy_x - px
             dy = xy_y - py
             power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
             alpha = jnp.minimum(0.99, op * jnp.exp(power))
@@ -165,18 +179,18 @@ def _blend_kernel(
             a = jnp.where(ok, alpha, 0.0) * in_range
 
             l1ma = jnp.log1p(-a)
-            cum = _lane_cumsum(l1ma) + log_t      # log T_{i+1}
+            cum = _lane_cumsum(l1ma) + log_t
             t_after = jnp.exp(cum)
             t_before = jnp.exp(cum - l1ma)
             include = (a > 0.0) & (t_after >= 1e-4)
-            w = jnp.where(include, a * t_before, 0.0)  # [P, chunk]
+            w = jnp.where(include, a * t_before, 0.0)
 
-            feat = chunk_buf[HDR:, :]             # [n_feat, chunk]
+            feat = chunk_buf[HDR:, :]
             color = color + jax.lax.dot_general(
                 w, feat,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )                                      # [P, n_feat]
+            )
             w_sum = w_sum + jnp.sum(w, axis=1, keepdims=True)
             d_sum = d_sum + jnp.sum(w * dep, axis=1, keepdims=True)
             log_t = log_t + jnp.sum(jnp.where(include, l1ma, 0.0), axis=1,
