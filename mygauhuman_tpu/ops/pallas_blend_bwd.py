@@ -67,9 +67,18 @@ def _blend_bwd_kernel(
     pix_y = (pix // tile_w).astype(jnp.float32)
 
     def one_tile(ti):
+        # program_id / scalar reads must happen outside the pl.when branch
         t = pl.program_id(0) * tiles_per_step + ti
         start = starts_ref[t]
         count = counts_ref[t]
+
+        # empty tiles contribute no gradients (output is zero-initialized
+        # via the aliased input) — skip both passes entirely
+        @pl.when(count > 0)
+        def _():
+            _bwd_nonempty(ti, t, start, count)
+
+    def _bwd_nonempty(ti, t, start, count):
         base0 = (start // chunk) * chunk
         offset = start - base0
         n_chunks = pl.cdiv(offset + count, chunk)
