@@ -20,7 +20,9 @@ to the actual sorted instance list, exactly like the reference CUDA renderCUDA
     (see ops/blend.py docstring for the equivalence argument).
 
 Row layout (D = 8 + C, feature rows sublane-aligned at 8):
-  0 x | 1 y | 2 cxx | 3 cxy | 4 cyy | 5 opacity | 6 depth | 7 pad | 8.. feat
+  0 x | 1 y | 2 cxx | 3 cxy | 4 cyy | 5 opacity | 6 depth | 7 ONES | 8.. feat
+(the ones row rides the per-chunk MXU matmul so depth/weight sums come out of
+the same contraction as the color accumulation)
 """
 from __future__ import annotations
 
@@ -69,7 +71,8 @@ def build_instance_data(
             conics.T,
             opacities[None, :],
             depths[None, :],
-            jnp.zeros((1, n), jnp.float32),
+            jnp.ones((1, n), jnp.float32),   # ones row: yields w_sum in the
+                                             # same MXU matmul as the features
             features.T,
             jnp.zeros((c_pad, n), jnp.float32),
         ],
@@ -101,8 +104,9 @@ def _lane_cumsum(x: jnp.ndarray) -> jnp.ndarray:
 def _blend_kernel(
     starts_ref, counts_ref,       # scalar prefetch
     data_ref,                     # [D, NS] in ANY/HBM
-    out_ref,                      # [TB, P, C_OUT] block: TB tiles per step
-    chunk_buf, sem,               # scratch
+    prefill_ref,                  # [T, P, C_OUT] background, aliased to out
+    out_ref,                      # [T, P, C_OUT] in ANY/HBM (DMA writes)
+    chunk_buf, stage_buf, sem, sem2,   # scratch
     *,
     tile_w: int,
     tile_h: int,
@@ -127,15 +131,8 @@ def _blend_kernel(
         start = starts_ref[t]
         count = counts_ref[t]
 
-        # empty-tile fast path: ~90% of tiles have no instances; skip the
-        # loop machinery and write the background state directly
-        @pl.when(count == 0)
-        def _():
-            lanes = jax.lax.broadcasted_iota(
-                jnp.int32, (P, n_feat + 3), 1
-            )
-            out_ref[ti, :, :] = jnp.where(lanes == n_feat + 2, 1.0, 0.0)
-
+        # empty tiles cost nothing: the aliased prefill input already holds
+        # the background state for every tile
         @pl.when(count > 0)
         def _():
             _blend_nonempty(ti, t, start, count)
@@ -150,7 +147,7 @@ def _blend_kernel(
         py = y0 + pix_y
 
         def body(ci, carry):
-            color, w_sum, d_sum, log_t = carry
+            acc, log_t = carry
             base = pl.multiple_of(base0 + ci * chunk, chunk)
             dma = pltpu.make_async_copy(
                 data_ref.at[:, pl.ds(base, chunk)], chunk_buf, sem
@@ -169,7 +166,6 @@ def _blend_kernel(
             cxy = chunk_buf[3:4, :]
             cyy = chunk_buf[4:5, :]
             op = chunk_buf[5:6, :]
-            dep = chunk_buf[6:7, :]
 
             dx = xy_x - px
             dy = xy_y - py
@@ -185,28 +181,30 @@ def _blend_kernel(
             include = (a > 0.0) & (t_after >= 1e-4)
             w = jnp.where(include, a * t_before, 0.0)
 
-            feat = chunk_buf[HDR:, :]
-            color = color + jax.lax.dot_general(
-                w, feat,
+            # rows [depth, ONES, feat...] x w -> [2 + nf, P]: depth sum,
+            # weight sum and color accumulation in ONE MXU contraction
+            acc = acc + jax.lax.dot_general(
+                chunk_buf[HDR - 2:, :], w,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            w_sum = w_sum + jnp.sum(w, axis=1, keepdims=True)
-            d_sum = d_sum + jnp.sum(w * dep, axis=1, keepdims=True)
             log_t = log_t + jnp.sum(jnp.where(include, l1ma, 0.0), axis=1,
                                     keepdims=True)
-            return color, w_sum, d_sum, log_t
+            return acc, log_t
 
-        color0 = jnp.zeros((P, n_feat), jnp.float32)
+        acc0 = jnp.zeros((2 + n_feat, P), jnp.float32)
         zero1 = jnp.zeros((P, 1), jnp.float32)
-        color, w_sum, d_sum, log_t = jax.lax.fori_loop(
-            0, n_chunks, body, (color0, zero1, zero1, zero1)
+        acc, log_t = jax.lax.fori_loop(
+            0, n_chunks, body, (acc0, zero1)
         )
         final_t = jnp.exp(log_t)
-        out_ref[ti, :, :n_feat] = color
-        out_ref[ti, :, n_feat:n_feat + 1] = w_sum
-        out_ref[ti, :, n_feat + 1:n_feat + 2] = d_sum
-        out_ref[ti, :, n_feat + 2:n_feat + 3] = final_t
+        stage_buf[:n_feat, :] = acc[2:, :]                  # color rows
+        stage_buf[n_feat:n_feat + 1, :] = acc[1:2, :]       # w_sum (ones row)
+        stage_buf[n_feat + 1:n_feat + 2, :] = acc[0:1, :]   # d_sum
+        stage_buf[n_feat + 2:n_feat + 3, :] = jnp.transpose(final_t)
+        wr = pltpu.make_async_copy(stage_buf, out_ref.at[t], sem2)
+        wr.start()
+        wr.wait()
 
     # static unroll: keeps the out_ref writes statically indexed
     for ti in range(tiles_per_step):
@@ -240,10 +238,9 @@ def blend_pallas_raw(
     D = inst.data.shape[0]
     n_feat = D - HDR             # padded feature count (multiple of 8)
     c_out = n_feat + 3
+    c_stage = -(-c_out // 8) * 8  # staged rows (sublane multiple of 8)
 
-    # tiles per grid step: amortize per-step overhead, bounded by a ~4 MB
-    # VMEM budget for the [TB, P, c_out] out block
-    TB = min(32, max(1, (4 * 1024 * 1024) // (P * c_out * 4)))
+    TB = 32                       # ranked-tile batching per grid step
     while T % TB:
         TB -= 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -251,12 +248,13 @@ def blend_pallas_raw(
         grid=(T // TB,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),        # data stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),        # prefill (aliased)
         ],
-        out_specs=pl.BlockSpec(
-            (TB, P, c_out), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),  # DMA-written per tile
         scratch_shapes=[
             pltpu.VMEM((D, chunk), jnp.float32),
+            pltpu.VMEM((c_stage, P), jnp.float32),    # lane-major staging
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -264,31 +262,39 @@ def blend_pallas_raw(
         _blend_kernel, tile_w=tile_w, tile_h=tile_h, tiles_x=tw,
         n_feat=n_feat, chunk=chunk, tiles_per_step=TB,
     )
+    # background prefill: zero color/alpha/depth, final_t = 1; the kernel
+    # only overwrites non-empty tiles (input_output alias; indices count
+    # the scalar-prefetch args)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (T, c_stage, P), 1)
+    prefill = jnp.where(rows == n_feat + 2, 1.0, 0.0)
     tiles_out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((T, P, c_out), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, c_stage, P), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
+        input_output_aliases={3: 0},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
+            has_side_effects=True,
         ),
-    )(inst.starts, inst.counts, inst.data)
+    )(inst.starts, inst.counts, inst.data, prefill)
 
-    color = tiles_out[..., :n_channels]
-    w_sum = tiles_out[..., n_feat]
-    d_sum = tiles_out[..., n_feat + 1]
-    final_t = tiles_out[..., n_feat + 2]
-    color = color + final_t[..., None] * bg[None, None, :]
+    color = tiles_out[:, :n_channels, :]                 # [T, C, P]
+    w_sum = tiles_out[:, n_feat, :]
+    d_sum = tiles_out[:, n_feat + 1, :]
+    final_t = tiles_out[:, n_feat + 2, :]
+    color = color + final_t[:, None, :] * bg[None, :, None]
 
     def assemble(x, ch):
-        x = x.reshape(th, tw, tile_h, tile_w, ch)
-        x = x.transpose(0, 2, 1, 3, 4).reshape(th * tile_h, tw * tile_w, ch)
+        # [T, ch, P] -> [H, W, ch]
+        x = x.reshape(th, tw, ch, tile_h, tile_w)
+        x = x.transpose(0, 3, 1, 4, 2).reshape(th * tile_h, tw * tile_w, ch)
         return x[:height, :width]
 
     image = assemble(color, n_channels)
-    alpha = assemble(w_sum[..., None], 1)[..., 0]
-    depth = assemble(d_sum[..., None], 1)[..., 0]
-    final_t2 = assemble(final_t[..., None], 1)[..., 0]
+    alpha = assemble(w_sum[:, None, :], 1)[..., 0]
+    depth = assemble(d_sum[:, None, :], 1)[..., 0]
+    final_t2 = assemble(final_t[:, None, :], 1)[..., 0]
     return image, alpha, depth, final_t2
 
 
