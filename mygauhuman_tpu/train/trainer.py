@@ -276,6 +276,18 @@ def train_loop(
         deg = active_sh_degree_at(it, max_sh_degree)
         ts, metrics = step_fn(ts, batch, deg)
 
+        # failure detection (reference has none beyond snapshot dumps,
+        # SURVEY.md §5.3): a non-finite loss snapshots the blown-up state
+        # for offline repro and aborts instead of training on garbage
+        if it % 50 == 0 and not np.isfinite(float(metrics["loss"])):
+            from mygauhuman_tpu.train.checkpoint import save_checkpoint
+
+            path = save_checkpoint("output/diverged", it, ts)
+            raise FloatingPointError(
+                f"non-finite loss at iteration {it}; state snapshot at "
+                f"{path} (the snapshot_fw.dump equivalent)"
+            )
+
         if (
             cfg.densify_from_iter <= it < cfg.densify_until_iter
             and it % cfg.densification_interval == 0
