@@ -84,7 +84,11 @@ class GaussianState(NamedTuple):
 # ----------------------------------------------------------------------------
 
 def get_scaling(p: GaussianParams) -> jnp.ndarray:
-    return jnp.exp(p.scaling)
+    # clipped exp: the reference's bare exp (gaussian_model.py:44) overflows
+    # to inf covariance if the log-scale drifts high; [-15, 8] spans 3e-7 m
+    # to 3 km — far beyond any human scene, so the clamp is inert in normal
+    # training and purely an anti-NaN guard
+    return jnp.exp(jnp.clip(p.scaling, -15.0, 8.0))
 
 
 def get_rotation(p: GaussianParams) -> jnp.ndarray:

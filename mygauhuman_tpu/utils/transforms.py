@@ -178,6 +178,10 @@ def inv3x3(m: jnp.ndarray) -> jnp.ndarray:
     H = b * g - a * h
     I = a * e - b * d
     det = a * A + b * D + c * G
+    # Guard the LBS candy-wrapper singularity: blends of opposing joint
+    # rotations can be (near-)singular; an unguarded 1/det makes one bad
+    # Gaussian's NaN poison every parameter through the shared reductions.
+    det = jnp.where(jnp.abs(det) < 1e-8, jnp.sign(det) * 1e-8 + 1e-12, det)
     adj = jnp.stack(
         [
             jnp.stack([A, B, C], axis=-1),
