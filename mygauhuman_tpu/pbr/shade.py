@@ -69,12 +69,16 @@ def _hammersley(n: int) -> np.ndarray:
                     axis=1)
 
 
-def compute_brdf_lut(res: int = 256, n_samples: int = 512) -> jnp.ndarray:
+def compute_brdf_lut(res: int = 256, n_samples: int = 1024) -> jnp.ndarray:
     """[res, res, 2] split-sum LUT: u = NoV, v = roughness.
 
-    Standard UE4/Karis integration: importance-sample GGX half-vectors, use
-    Smith visibility (G_vis = G * VoH / (NoH * NoV)), accumulate the Fresnel
-    scale (A) and bias (B) factors.
+    Karis split-sum integration: importance-sample GGX half-vectors and
+    accumulate the Fresnel scale (A) and bias (B) factors with
+    **height-correlated Smith** visibility — the convention the reference's
+    shipped `pbr/brdf_256_256.bin` was generated with (verified numerically:
+    mean |diff| 4.5e-4 / max 9e-3 at 2048 samples vs the binary, while the
+    separable k=alpha/2 Karis-IBL G is off by 0.35 max). Oracle test:
+    tests/test_oracles.py.
     """
     ham = _hammersley(n_samples)                       # [S, 2]
     nov = (np.arange(res) + 0.5) / res                 # u axis
@@ -84,12 +88,13 @@ def compute_brdf_lut(res: int = 256, n_samples: int = 512) -> jnp.ndarray:
     nov_g = np.maximum(nov_g, 1e-4)
     V = np.stack([np.sqrt(1 - nov_g**2), np.zeros_like(nov_g), nov_g], axis=-1)
     alpha = np.maximum(rough_g * rough_g, 1e-4)
+    a2 = alpha**2
 
     A = np.zeros_like(nov_g)
     B = np.zeros_like(nov_g)
     for xi1, xi2 in ham:
         phi = 2 * np.pi * xi1
-        cos_th = np.sqrt((1 - xi2) / (1 + (alpha**2 - 1) * xi2))
+        cos_th = np.sqrt((1 - xi2) / (1 + (a2 - 1) * xi2))
         sin_th = np.sqrt(np.maximum(1 - cos_th**2, 0))
         H = np.stack(
             [np.cos(phi) * sin_th, np.sin(phi) * sin_th, cos_th], axis=-1
@@ -98,12 +103,10 @@ def compute_brdf_lut(res: int = 256, n_samples: int = 512) -> jnp.ndarray:
         nol = np.maximum(L[..., 2], 0.0)
         noh = np.maximum(H[..., 2], 0.0)
         voh = np.maximum(np.sum(V * H, axis=-1), 0.0)
-        # Smith GGX visibility (k = alpha / 2 with alpha = roughness^2,
-        # Karis IBL convention)
-        k = alpha / 2
-        g1 = nol / (nol * (1 - k) + k + 1e-9)
-        g2 = nov_g / (nov_g * (1 - k) + k + 1e-9)
-        g = g1 * g2
+        # height-correlated Smith GGX: G = 2 NoL NoV / (Λ_V + Λ_L)
+        lam_v = nol * np.sqrt(nov_g**2 * (1 - a2) + a2)
+        lam_l = nov_g * np.sqrt(nol**2 * (1 - a2) + a2)
+        g = 2 * nol * nov_g / (lam_v + lam_l + 1e-9)
         g_vis = np.where(nol > 0, g * voh / (noh * nov_g + 1e-9), 0.0)
         fc = (1 - voh) ** 5
         A += (1 - fc) * g_vis
