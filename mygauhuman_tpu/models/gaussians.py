@@ -316,12 +316,12 @@ def densify_and_clone(
     grads = _avg_grads(state)
     small = jnp.max(get_scaling(p), axis=1) <= percent_dense * scene_extent
     selected = state.alive & (grads >= grad_threshold) & small
-    dest, ok, _ = _alloc_slots(state.alive, selected)
+    dest, ok, dropped = _alloc_slots(state.alive, selected)
     new_params = _scatter_params(p, p, dest, ok)
     written = _written_mask(dest, ok, state.capacity)
     return state._replace(
         params=new_params, alive=state.alive | written
-    ), written
+    ), written, dropped
 
 
 def densify_and_split(
@@ -348,17 +348,19 @@ def densify_and_split(
 
     alive = state.alive & ~selected                  # original dies
     written_all = jnp.zeros((cap,), bool)
+    dropped_all = jnp.zeros((), jnp.int32)
     params = p
     for i in range(n_split):
         src = params._replace(
             xyz=p.xyz + offsets[i], scaling=new_scaling
         )
-        dest, ok, _ = _alloc_slots(alive, selected)
+        dest, ok, dropped = _alloc_slots(alive, selected)
         params = _scatter_params(params, src, dest, ok)
         w = _written_mask(dest, ok, cap)
         alive = alive | w
         written_all = written_all | w
-    return state._replace(params=params, alive=alive), written_all
+        dropped_all = dropped_all + dropped
+    return state._replace(params=params, alive=alive), written_all, dropped_all
 
 
 def kl_div_diag(
@@ -405,10 +407,12 @@ def kl_densify_and_clone(
     selected = (
         state.alive & (grads >= grad_threshold) & small & (kl > kl_threshold)
     )
-    dest, ok, _ = _alloc_slots(state.alive, selected)
+    dest, ok, dropped = _alloc_slots(state.alive, selected)
     new_params = _scatter_params(p, p, dest, ok)
     written = _written_mask(dest, ok, state.capacity)
-    return state._replace(params=new_params, alive=state.alive | written), written
+    return state._replace(
+        params=new_params, alive=state.alive | written
+    ), written, dropped
 
 
 def kl_densify_and_split(
@@ -434,15 +438,17 @@ def kl_densify_and_split(
 
     alive = state.alive & ~selected
     written_all = jnp.zeros((cap,), bool)
+    dropped_all = jnp.zeros((), jnp.int32)
     params = p
     for i in range(n_split):
         src = params._replace(xyz=p.xyz + offsets[i], scaling=new_scaling)
-        dest, ok, _ = _alloc_slots(alive, selected)
+        dest, ok, dropped = _alloc_slots(alive, selected)
         params = _scatter_params(params, src, dest, ok)
         w = _written_mask(dest, ok, cap)
         alive = alive | w
         written_all = written_all | w
-    return state._replace(params=params, alive=alive), written_all
+        dropped_all = dropped_all + dropped
+    return state._replace(params=params, alive=alive), written_all, dropped_all
 
 
 def kl_merge(state, grad_threshold, scene_extent, kl_threshold=0.1,
@@ -482,10 +488,10 @@ def kl_merge(state, grad_threshold, scene_extent, kl_threshold=0.1,
         True, mode="drop"
     )
     alive = state.alive & ~kill
-    dest, ok, _ = _alloc_slots(alive, selected)
+    dest, ok, dropped = _alloc_slots(alive, selected)
     params = _scatter_params(p, src, dest, ok)
     written = _written_mask(dest, ok, cap)
-    return state._replace(params=params, alive=alive | written), written
+    return state._replace(params=params, alive=alive | written), written, dropped
 
 
 def prune(
@@ -539,24 +545,41 @@ def densify_and_prune(
     """One densification event (reference densify_and_prune, :710-736).
 
     The reference ships KL variants but runs the plain clone/split (:714-718);
-    `use_kl=True` enables the paper's KL gating. Returns (state, written) —
-    `written` marks slots whose Adam moments must be reset.
+    `use_kl=True` enables the paper's KL gating. Returns
+    (state, written, info) — `written` marks slots whose Adam moments must be
+    reset; `info` carries truncation/health counters (cloned/split/merged
+    counts, alloc drops, prune count) so densification saturation is never
+    silent (the reference prints counts at gaussian_model.py:591,639,689).
     """
+    alive_before = jnp.sum(state.alive)
     if use_kl:
-        state, w1 = kl_densify_and_clone(
+        state, w1, d1 = kl_densify_and_clone(
             state, max_grad, extent, kl_threshold, percent_dense
         )
-        state, w2 = kl_densify_and_split(
+        state, w2, d2 = kl_densify_and_split(
             state, max_grad, extent, rng, kl_threshold, 2, percent_dense
         )
-        state, w3 = kl_merge(state, max_grad, extent, 0.1, percent_dense)
+        state, w3, d3 = kl_merge(state, max_grad, extent, 0.1, percent_dense)
         written = w1 | w2 | w3
+        info = {
+            "cloned": jnp.sum(w1), "split_new": jnp.sum(w2),
+            "merged": jnp.sum(w3),
+            "dropped": d1 + d2 + d3,
+        }
     else:
-        state, w1 = densify_and_clone(state, max_grad, extent, percent_dense)
-        state, w2 = densify_and_split(
+        state, w1, d1 = densify_and_clone(
+            state, max_grad, extent, percent_dense
+        )
+        state, w2, d2 = densify_and_split(
             state, max_grad, extent, rng, 2, percent_dense
         )
         written = w1 | w2
+        info = {
+            "cloned": jnp.sum(w1), "split_new": jnp.sum(w2),
+            "merged": jnp.zeros((), jnp.int32),
+            "dropped": d1 + d2,
+        }
+    alive_grown = jnp.sum(state.alive)
     state = prune(
         state,
         min_opacity,
@@ -564,5 +587,8 @@ def densify_and_prune(
         max_screen_size if max_screen_size_on else None,
         smpl_vertices,
     )
+    info["pruned"] = alive_grown - jnp.sum(state.alive)
+    info["alive"] = jnp.sum(state.alive)
+    info["grew"] = jnp.sum(state.alive) - alive_before
     state = reset_densification_stats(state)
-    return state, written
+    return state, written, info

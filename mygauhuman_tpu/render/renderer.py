@@ -83,6 +83,8 @@ class RenderResult(NamedTuple):
     transforms: jnp.ndarray      # [cap, 3, 3] LBS rotations (eval replay)
     translation: jnp.ndarray     # [cap, 3]
     correct_Rs: jnp.ndarray | None
+    overflow_tiles: jnp.ndarray  # binning truncation counters (scalars);
+    overflow_gauss: jnp.ndarray  # logged every densify event, never silent
 
 
 def _pack_bg(bg_rgb: jnp.ndarray) -> jnp.ndarray:
@@ -221,4 +223,6 @@ def render_frame(
         transforms=transforms,
         translation=translation,
         correct_Rs=correct_Rs,
+        overflow_tiles=out.overflow_tiles,
+        overflow_gauss=out.overflow_gauss,
     )

@@ -47,6 +47,37 @@ def load_checkpoint(ckpt_dir: str, step: int, target: Any) -> Any:
     return jax.tree_util.tree_map(jax.numpy.asarray, restored)
 
 
+def restore_checkpoint_like(ckpt_dir: str, step: int, example: Any) -> Any:
+    """Restore into `example`'s pytree STRUCTURE with the checkpoint's leaf
+    VALUES (shapes may differ, e.g. a capacity grown mid-training).
+
+    This is the `--start_checkpoint` -> gaussians.restore path (reference
+    train.py:136-138): StandardCheckpointer.restore with a target refuses
+    shape mismatches, so restore raw and re-attach the example's treedef —
+    leaf order is deterministic for an identical structure.
+    """
+    path = os.path.join(os.path.abspath(ckpt_dir), f"chkpnt{step}")
+    ckptr = ocp.StandardCheckpointer()
+    raw = ckptr.restore(path)
+
+    def rebuild(ex, rw):
+        # orbax stores NamedTuples as {field: value} dicts; rebuild the
+        # typed structure by field name so leaf ORDER never matters.
+        if hasattr(ex, "_fields"):                       # NamedTuple
+            vals = [rebuild(getattr(ex, f), rw[f]) for f in ex._fields]
+            return type(ex)(*vals)
+        if isinstance(ex, dict):
+            return {k: rebuild(v, rw[k]) for k, v in ex.items()}
+        if isinstance(ex, (list, tuple)):
+            rebuilt = [rebuild(e, r) for e, r in zip(ex, rw, strict=True)]
+            return type(ex)(rebuilt)
+        if rw is None:
+            return ex                                    # e.g. None leaves
+        return jax.numpy.asarray(rw)
+
+    return rebuild(example, raw)
+
+
 def latest_step(ckpt_dir: str) -> int | None:
     if not os.path.isdir(ckpt_dir):
         return None

@@ -133,6 +133,31 @@ def reset_adam_slots(opt_state, written: jnp.ndarray, capacity: int):
     return jax.tree_util.tree_map(reset, opt_state)
 
 
+def grow_opt_state(opt_state, old_capacity: int, new_capacity: int):
+    """Zero-pad per-Gaussian Adam moment rows to a larger capacity.
+
+    Companion to models.gaussians.grow_capacity: any state leaf whose leading
+    dim equals the old capacity is a per-Gaussian moment and gets zero rows
+    appended (fresh moments for the new slots, same convention as
+    reset_adam_slots).
+    """
+    assert new_capacity >= old_capacity
+
+    def grow(leaf):
+        if (
+            hasattr(leaf, "shape")
+            and leaf.ndim >= 1
+            and leaf.shape[0] == old_capacity
+        ):
+            pad = jnp.zeros(
+                (new_capacity - old_capacity,) + leaf.shape[1:], leaf.dtype
+            )
+            return jnp.concatenate([leaf, pad], axis=0)
+        return leaf
+
+    return jax.tree_util.tree_map(grow, opt_state)
+
+
 def geometry_freeze_mask(params: TrainableParams, frozen: jnp.ndarray):
     """Gradient multiplier pytree: 0 for geometry when `frozen` (scalar bool).
 

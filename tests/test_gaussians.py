@@ -61,7 +61,8 @@ class TestDensify:
         # mark gaussians 0..9 as high-gradient
         accum = s.xyz_grad_accum.at[:10].set(1.0)
         s = s._replace(xyz_grad_accum=accum, denom=s.denom.at[:100].set(1.0))
-        s2, written = G.densify_and_clone(s, grad_threshold=0.5, scene_extent=1e4)
+        s2, written, dropped = G.densify_and_clone(s, grad_threshold=0.5, scene_extent=1e4)
+        assert int(dropped) == 0
         assert int(s2.num_alive) == 110
         assert int(jnp.sum(written)) == 10
         # clones are exact copies
@@ -75,10 +76,11 @@ class TestDensify:
         accum = s.xyz_grad_accum.at[:5].set(1.0)
         s = s._replace(xyz_grad_accum=accum, denom=s.denom.at[:100].set(1.0))
         # tiny extent so max-scale > percent_dense*extent for all
-        s2, written = G.densify_and_split(
+        s2, written, dropped = G.densify_and_split(
             s, grad_threshold=0.5, scene_extent=1e-6,
             rng=jax.random.PRNGKey(0), n_split=2,
         )
+        assert int(dropped) == 0
         # 100 - 5 killed + 10 new
         assert int(s2.num_alive) == 105
         assert int(jnp.sum(written)) == 10
@@ -94,10 +96,15 @@ class TestDensify:
         s = make_state(1000, cap=1024)
         accum = s.xyz_grad_accum.at[:100].set(1.0)
         s = s._replace(xyz_grad_accum=accum, denom=s.denom.at[:1000].set(1.0))
-        s2, written = G.densify_and_clone(s, 0.5, 100.0)
+        # clone selects alive & high-grad & small; derive the expected
+        # selected count (random scalings may push a row past the size gate)
+        small = jnp.max(G.get_scaling(s.params), axis=1) <= 0.01 * 100.0
+        n_sel = int(jnp.sum(s.alive & (s.xyz_grad_accum >= 0.5) & small))
+        s2, written, dropped = G.densify_and_clone(s, 0.5, 100.0)
         # only 24 free slots
         assert int(s2.num_alive) == 1024
         assert int(jnp.sum(written)) == 24
+        assert int(dropped) == n_sel - 24
 
     def test_prune_opacity_and_smpl(self):
         s = make_state(100)
@@ -123,7 +130,7 @@ class TestDensify:
         accum = s.xyz_grad_accum.at[:20].set(1.0)
         s = s._replace(xyz_grad_accum=accum, denom=s.denom.at[:200].set(1.0))
         verts = s.params.xyz[:200]
-        s2, written = G.densify_and_prune(
+        s2, written, info = G.densify_and_prune(
             s, jax.random.PRNGKey(1),
             max_grad=2e-4, min_opacity=0.005, extent=5.0,
             smpl_vertices=verts, use_kl=False,
@@ -132,6 +139,8 @@ class TestDensify:
         # get pruned (expected with synthetic randn "vertices")
         assert int(s2.num_alive) >= 180
         assert int(jnp.sum(written)) > 0
+        assert int(info["cloned"]) + int(info["split_new"]) == int(jnp.sum(written))
+        assert int(info["alive"]) == int(s2.num_alive)
         # stats reset
         assert float(jnp.sum(s2.xyz_grad_accum)) == 0.0
 
@@ -139,7 +148,7 @@ class TestDensify:
         s = make_state(200)
         accum = s.xyz_grad_accum.at[:20].set(1.0)
         s = s._replace(xyz_grad_accum=accum, denom=s.denom.at[:200].set(1.0))
-        s2, _ = G.densify_and_prune(
+        s2, _, _ = G.densify_and_prune(
             s, jax.random.PRNGKey(2),
             max_grad=2e-4, min_opacity=0.005, extent=5.0,
             use_kl=True,

@@ -179,7 +179,9 @@ class TestTrainStep:
             denom=jnp.where(ts.gauss.alive, 1.0, 0.0),
         ))
         n_before = int(ts.gauss.num_alive)
-        ts2 = densify_event(ts, jax.random.PRNGKey(2), cfg,
-                            scene.extent, scene.big_pose_verts, iteration=100)
+        ts2, info = densify_event(ts, jax.random.PRNGKey(2), cfg,
+                                  scene.extent, scene.big_pose_verts,
+                                  iteration=100)
+        assert int(info["alive"]) == int(ts2.gauss.num_alive)
         assert int(ts2.gauss.num_alive) != n_before or True  # ran without error
         assert float(jnp.sum(ts2.gauss.xyz_grad_accum)) == 0.0
