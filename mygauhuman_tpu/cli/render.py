@@ -60,6 +60,7 @@ def main(argv=None) -> dict:
         smpl_model = scene.smpl_model
         batches = scene.batches
         raster_cfg = scene.raster_config
+        pose_ids = list(range(len(batches)))
     else:
         from mygauhuman_tpu.data.readers import (
             camera_info_to_batch,
@@ -72,6 +73,7 @@ def main(argv=None) -> dict:
                                os.path.basename(args.model_path), True,
                                smpl_model)
         batches = [camera_info_to_batch(c) for c in info.test_cameras]
+        pose_ids = [c.pose_id for c in info.test_cameras]
         raster_cfg = RasterizerConfig(
             use_pallas=jax.devices()[0].platform not in ("cpu",)
         )
@@ -112,13 +114,17 @@ def main(argv=None) -> dict:
     start = time.time()
     for bi, batch in enumerate(batches):
         kwargs = {}
-        if cache is not None and str(bi) in cache:
+        # replay cache keyed by pose_id (train.py:548-552 keys smpl_rot by
+        # pose); str(bi) fallback reads round-1-era caches
+        ck = str(pose_ids[bi]) if str(pose_ids[bi]) in (cache or {}) \
+            else str(bi)
+        if cache is not None and ck in cache:
             cap = state.capacity
             kwargs["transforms"] = jnp.asarray(
-                cache[str(bi)]["transforms"][:cap]
+                cache[ck]["transforms"][:cap]
             )
             kwargs["translation"] = jnp.asarray(
-                cache[str(bi)]["translation"][:cap]
+                cache[ck]["translation"][:cap]
             )
         out = render_frame(
             state, batch.camera, batch.frame, smpl_model,

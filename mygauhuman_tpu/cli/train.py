@@ -38,6 +38,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pbr_iteration", type=int, default=30_000)
     p.add_argument("--use_kl_densify", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--start_checkpoint", type=str, default="",
+                   help="resume from <dir>/chkpnt<iter> "
+                        "(reference --start_checkpoint, train.py:136-138)")
+    p.add_argument("--lpips_weights", type=str, default="",
+                   help=".npz VGG16+lin weights for LPIPS; without it a "
+                        "deterministic random backbone is used")
+    p.add_argument("--disable_lpips", action="store_true",
+                   help="drop the 0.01*lpips training term and eval metric")
+    p.add_argument("--gui", action="store_true",
+                   help="serve the SIBR live-viewer protocol while training")
+    p.add_argument("--gui_host", type=str, default="127.0.0.1")
+    p.add_argument("--gui_port", type=int, default=6009)
+    p.add_argument("--skip_galleries", action="store_true",
+                   help="do not save eval render galleries at test iters")
     p.add_argument("--synthetic", action="store_true",
                    help="train on the built-in synthetic scene (no dataset)")
     p.add_argument("--synthetic_size", type=int, default=128)
@@ -98,6 +112,7 @@ def main(argv=None) -> dict:
         extent = scene.extent
         smpl_vertices = scene.big_pose_verts
         raster_cfg = scene.raster_config
+        test_pose_ids = list(range(len(test_batches)))
     else:
         from mygauhuman_tpu.data.readers import (
             camera_info_to_batch,
@@ -123,6 +138,7 @@ def main(argv=None) -> dict:
 
         train_batches = [to_batch(c) for c in info.train_cameras]
         test_batches = [to_batch(c) for c in info.test_cameras]
+        test_pose_ids = [c.pose_id for c in info.test_cameras]
         pcd = info.point_cloud
         state = G.create_from_pcd(
             pcd.points, pcd.colors, pcd.normals, sh_degree=args.sh_degree
@@ -141,34 +157,150 @@ def main(argv=None) -> dict:
         init_lbs_offset(jax.random.PRNGKey(args.seed + 1),
                         total_bones=n_joints),
     )
+
+    # --start_checkpoint resume (reference train.py:136-138 ->
+    # gaussians.restore): shape-tolerant restore into the fresh state, then
+    # continue the iteration schedule where the checkpoint left off.
+    start_iteration = 0
+    if args.start_checkpoint:
+        from mygauhuman_tpu.train.checkpoint import restore_checkpoint_like
+
+        ckpt_dir, base = os.path.split(args.start_checkpoint.rstrip("/"))
+        if not base.startswith("chkpnt"):
+            raise ValueError(
+                f"--start_checkpoint must point at <dir>/chkpnt<iter>, "
+                f"got {args.start_checkpoint}")
+        start_iteration = int(base[len("chkpnt"):])
+        ts = restore_checkpoint_like(ckpt_dir, start_iteration, ts)
+        print(f"resumed from {args.start_checkpoint} "
+              f"(iteration {start_iteration})")
+
+    # LPIPS: active by default, both in the 0.01*lpips training term
+    # (train.py:287) and the eval report (train.py:539). Without a weights
+    # file the backbone is a deterministic random VGG (no egress in this
+    # environment); --lpips_weights restores published-number parity.
+    lpips_obj = None
+    if not args.disable_lpips:
+        from mygauhuman_tpu.eval.lpips import LPIPS
+
+        lpips_obj = LPIPS(weights_file=args.lpips_weights or None)
+
     bg = jnp.ones(3) if args.white_background else jnp.zeros(3)
-    step_fn = make_train_step(smpl_model, tx, cfg, raster_cfg, bg=bg)
+    step_fn = make_train_step(smpl_model, tx, cfg, raster_cfg, bg=bg,
+                              lpips_fn=lpips_obj)
     logger = MetricLogger(out_dir)
+
+    gui = None
+    if args.gui:
+        from mygauhuman_tpu.utils.network_gui import NetworkGUI
+
+        gui = NetworkGUI(args.gui_host, args.gui_port)
 
     eval_cache: dict = {}
 
     def run_eval(it, ts):
-        psnrs = []
-        for bi, batch in enumerate(test_batches):
-            out = render_frame(
-                ts.gauss, batch.camera, batch.frame, smpl_model,
-                bg=bg, active_sh_degree=min(it // 1000, args.sh_degree),
-                mlp_params={"pose_refiner": ts.pose_refiner,
-                            "lbs_offset": ts.lbs_offset},
-                config=raster_cfg,
-            )
-            psnrs.append(float(psnr_fn(out.render, batch.gt_image)))
-            eval_cache[str(bi)] = {
-                "transforms": np.asarray(out.transforms),
-                "translation": np.asarray(out.translation),
-            }
-        logger.log(it, {"psnr": float(np.mean(psnrs))}, prefix="test")
-        print(f"[iter {it}] test PSNR {np.mean(psnrs):.2f} "
-              f"({int(ts.gauss.num_alive)} gaussians)")
-        return float(np.mean(psnrs))
+        """Test-iteration report parity (train.py:458-556): L1/PSNR/SSIM/
+        LPIPS on the test split + a train sample, render galleries, and the
+        per-pose LBS replay cache."""
+        import imageio.v2 as imageio
+
+        from mygauhuman_tpu.train.losses import l1_loss, ssim as ssim_fn
+
+        splits = {
+            "test": list(zip(test_pose_ids, test_batches)),
+            "train": list(enumerate(train_batches[:4])),
+        }
+        test_psnr = 0.0
+        for split, items in splits.items():
+            if not items:
+                continue
+            rows = {"l1": [], "psnr": [], "ssim": [], "lpips": []}
+            gdir = os.path.join(out_dir, f"eval_{it}", split)
+            if not args.skip_galleries:
+                os.makedirs(gdir, exist_ok=True)
+            for pose_id, batch in items:
+                out = render_frame(
+                    ts.gauss, batch.camera, batch.frame, smpl_model,
+                    bg=bg, active_sh_degree=min(it // 1000, args.sh_degree),
+                    mlp_params={"pose_refiner": ts.pose_refiner,
+                                "lbs_offset": ts.lbs_offset},
+                    config=raster_cfg,
+                )
+                rows["l1"].append(float(l1_loss(out.render, batch.gt_image)))
+                rows["psnr"].append(
+                    float(psnr_fn(out.render, batch.gt_image)))
+                rows["ssim"].append(
+                    float(ssim_fn(out.render, batch.gt_image)))
+                if lpips_obj is not None:
+                    rows["lpips"].append(
+                        float(lpips_obj(out.render, batch.gt_image)))
+                if split == "test":
+                    # keyed by pose_id (reference keys smpl_rot by pose,
+                    # train.py:548-552) so replay survives reordering
+                    eval_cache[str(pose_id)] = {
+                        "transforms": np.asarray(out.transforms),
+                        "translation": np.asarray(out.translation),
+                    }
+                if not args.skip_galleries:
+                    pair = np.concatenate(
+                        [np.asarray(out.render), np.asarray(batch.gt_image)],
+                        axis=1,
+                    )
+                    imageio.imwrite(
+                        os.path.join(gdir, f"{pose_id:03d}.png"),
+                        (np.clip(pair, 0, 1) * 255).astype(np.uint8),
+                    )
+            means = {k: float(np.mean(v)) for k, v in rows.items() if v}
+            logger.log(it, means, prefix=split)
+            print(f"[iter {it}] {split}: " + "  ".join(
+                f"{k} {v:.4f}" for k, v in means.items()
+            ) + f"  ({int(ts.gauss.num_alive)} gaussians)")
+            if split == "test":
+                test_psnr = means["psnr"]
+        return test_psnr
 
     start = time.time()
     last_psnr = 0.0
+
+    def poll_gui(it, ts):
+        """train.py:180-193: answer viewer frames between iterations."""
+        if gui is None or not gui.try_connect():
+            return
+        from mygauhuman_tpu.data.camera import Camera
+
+        try:
+            while True:
+                cam, _, keep_alive, scaling_mod = gui.receive()
+                img = None
+                if cam is not None:
+                    import math
+
+                    w2c = np.asarray(cam.w2c, np.float32)
+                    c2w = np.linalg.inv(w2c.astype(np.float64))
+                    jcam = Camera(
+                        w2c=jnp.asarray(w2c),
+                        full_proj=jnp.asarray(cam.full_proj),
+                        cam_center=jnp.asarray(
+                            c2w[:3, 3].astype(np.float32)),
+                        tan_fovx=math.tan(cam.fovx / 2),
+                        tan_fovy=math.tan(cam.fovy / 2),
+                        width=cam.width, height=cam.height,
+                    )
+                    out = render_frame(
+                        ts.gauss, jcam, train_batches[0].frame, smpl_model,
+                        bg=bg, active_sh_degree=min(it // 1000,
+                                                    args.sh_degree),
+                        mlp_params={"pose_refiner": ts.pose_refiner,
+                                    "lbs_offset": ts.lbs_offset},
+                        config=raster_cfg,
+                        scaling_modifier=scaling_mod,
+                    )
+                    img = np.asarray(out.render)
+                gui.send_image(img, out_dir)
+                if not keep_alive:
+                    break
+        except (ConnectionError, OSError):
+            gui.drop_connection()
 
     def callback(it, ts, metrics):
         nonlocal last_psnr
@@ -176,6 +308,7 @@ def main(argv=None) -> dict:
             logger.log(it, metrics)
             logger.log(it, {"n_gaussians": int(ts.gauss.num_alive)},
                        prefix="scene")
+        poll_gui(it, ts)
         if it in args.test_iterations:
             last_psnr = run_eval(it, ts)
         if it in args.save_iterations:
@@ -190,6 +323,7 @@ def main(argv=None) -> dict:
         extent=extent, smpl_vertices=smpl_vertices,
         max_sh_degree=args.sh_degree, seed=args.seed, callback=callback,
         num_iterations=phase_a_iters,
+        start_iteration=min(start_iteration, phase_a_iters),
     )
 
     if cfg.iterations > cfg.pbr_iteration:
@@ -227,8 +361,11 @@ def main(argv=None) -> dict:
     elapsed = time.time() - start
     print(f"training done: {cfg.iterations} iters in {elapsed:.1f}s "
           f"({int(ts.gauss.num_alive)} gaussians)")
+    if gui is not None:
+        gui.close()
     logger.close()
-    return {"elapsed_s": elapsed, "final_loss": float(metrics["loss"]),
+    return {"elapsed_s": elapsed,
+            "final_loss": float(metrics.get("loss", 0.0)),
             "test_psnr": last_psnr, "out_dir": out_dir}
 
 

@@ -287,12 +287,15 @@ def train_loop(
     max_sh_degree: int = 3,
     seed: int = 0,
     num_iterations: int | None = None,
+    start_iteration: int = 0,
     callback: Callable | None = None,
 ):
     """Host-side schedule: random view order, densify/reset events.
 
     View sampling parity (train.py:212-215): a shuffled stack of all train
-    views, refilled when exhausted.
+    views, refilled when exhausted. `start_iteration` resumes mid-schedule
+    (the --start_checkpoint path, reference train.py:136-138,179): densify /
+    opacity-reset / SH-ramp events line up with the original run.
     """
     import numpy as np
 
@@ -301,7 +304,7 @@ def train_loop(
     key = jax.random.PRNGKey(seed)
     stack: list[int] = []
     metrics = {}
-    for it in range(1, num_iterations + 1):
+    for it in range(start_iteration + 1, num_iterations + 1):
         if not stack:
             stack = list(range(len(batches)))
         batch = batches[stack.pop(host_rng.randint(len(stack)))]

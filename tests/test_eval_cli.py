@@ -152,3 +152,90 @@ class TestCli:
         res = metrics_main(["-r", r_dir, "-g", g_dir, "-o", out])
         assert res["psnr"] > 50
         assert os.path.exists(out)
+
+
+class TestLPIPSWeights:
+    def test_weights_file_round_trip(self, tmp_path):
+        """The --lpips_weights plumbing: export a small synthetic torch-layout
+        state dict, load it, and check the loaded params drive the metric."""
+        from mygauhuman_tpu.eval.lpips import (
+            _STAGE_CHANNELS, _VGG_PLAN, export_torch_weights,
+        )
+
+        rng = np.random.RandomState(0)
+        conv_ids = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+        vgg_state = {}
+        cin = 3
+        for cid, (cout, _) in zip(conv_ids, _VGG_PLAN):
+            vgg_state[f"features.{cid}.weight"] = rng.randn(
+                cout, cin, 3, 3).astype(np.float32) * 0.05
+            vgg_state[f"features.{cid}.bias"] = np.zeros(cout, np.float32)
+            cin = cout
+        lin_state = {
+            f"lin{i}.model.1.weight": rng.rand(1, c, 1, 1).astype(np.float32)
+            for i, c in enumerate(_STAGE_CHANNELS)
+        }
+        path = str(tmp_path / "lpips.npz")
+        export_torch_weights(path, vgg_state, lin_state)
+
+        lp = LPIPS(weights_file=path)
+        # loaded weights actually used: conv0 matches the exported tensor
+        np.testing.assert_allclose(
+            np.asarray(lp.params.convs[0]["w"]),
+            np.transpose(vgg_state["features.0.weight"], (2, 3, 1, 0)),
+        )
+        img = jnp.asarray(rng.rand(32, 32, 3), jnp.float32)
+        far = jnp.asarray(rng.rand(32, 32, 3), jnp.float32)
+        assert float(lp(img, img)) < 1e-6
+        assert float(lp(img, far)) > 0
+        # different weights => different metric (the file is load-bearing)
+        d_default = float(LPIPS()(img, far))
+        assert abs(float(lp(img, far)) - d_default) > 1e-6
+
+
+class TestCliResume:
+    def test_start_checkpoint_resume(self, tmp_path):
+        """--start_checkpoint: resume continues the schedule and improves."""
+        from mygauhuman_tpu.cli.train import main as train_main
+
+        out = str(tmp_path / "exp")
+        r1 = train_main([
+            "--synthetic", "--synthetic_size", "48",
+            "--iterations", "20",
+            "--test_iterations", "20",
+            "--save_iterations", "20",
+            "--model_path", out, "--skip_galleries",
+        ])
+        r2 = train_main([
+            "--synthetic", "--synthetic_size", "48",
+            "--iterations", "40",
+            "--test_iterations", "40",
+            "--save_iterations", "40",
+            "--model_path", out, "--skip_galleries",
+            "--start_checkpoint", os.path.join(out, "chkpnt20"),
+        ])
+        assert np.isfinite(r2["final_loss"])
+        assert r2["final_loss"] < r1["final_loss"] * 1.5
+        assert os.path.exists(os.path.join(out, "point_cloud_40.ply"))
+
+    def test_eval_report_and_galleries(self, tmp_path):
+        """Test-iteration report parity: l1/psnr/ssim/lpips logged for both
+        splits + gallery PNGs on disk (train.py:458-556)."""
+        import json
+
+        from mygauhuman_tpu.cli.train import main as train_main
+
+        out = str(tmp_path / "exp")
+        train_main([
+            "--synthetic", "--synthetic_size", "48",
+            "--iterations", "10",
+            "--test_iterations", "10",
+            "--save_iterations", "10",
+            "--model_path", out,
+        ])
+        rows = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
+        test_rows = [r for r in rows if "test/psnr" in r]
+        assert test_rows and any("train/psnr" in r for r in rows)
+        for k in ("l1", "psnr", "ssim", "lpips"):
+            assert f"test/{k}" in test_rows[-1], test_rows[-1]
+        assert os.path.exists(os.path.join(out, "eval_10", "test", "000.png"))
