@@ -21,14 +21,20 @@ def main() -> None:
     from mygauhuman_tpu.ops.rasterize import RasterizerConfig
     from mygauhuman_tpu.render import render_frame
 
-    # ZJU-MoCap-refine scale: 512x512, ~7k Gaussians after short training
-    # (6,890 SMPL-vertex init, scene/dataset_readers.py:737).
+    # ZJU-MoCap-refine scale: 512x512, 6,890 Gaussians — the honest
+    # operating point (SMPL vertex-cloud init, scene/dataset_readers.py:737;
+    # densification under the 1,200-iter budget stays in this regime).
+    import sys
+
     import jax as _jax
     on_tpu = _jax.devices()[0].platform != "cpu"
+    N_VERTS = 6890
+    CAPACITY = 8192
     cfg = RasterizerConfig(tile_capacity=1024, chunk_tiles=64,
-                           use_pallas=on_tpu)
+                           use_pallas=on_tpu,
+                           instance_capacity=8 * CAPACITY)
     scene = make_synthetic_scene(
-        n_views=32, width=512, height=512, n_verts=2048, capacity=8192,
+        n_views=32, width=512, height=512, n_verts=N_VERTS, capacity=CAPACITY,
         raster_config=cfg,
     )
     state = scene.gt_state

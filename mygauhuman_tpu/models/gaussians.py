@@ -38,11 +38,11 @@ import numpy as np
 from mygauhuman_tpu.ops.knn import knn, mean_knn_dist2
 from mygauhuman_tpu.ops.sh import num_sh_coeffs, rgb2sh
 from mygauhuman_tpu.utils.transforms import (
-    covariance_from_scaling_rotation,
+    covariance6_from_scaling_rotation,
     inverse_sigmoid,
     normalize,
     quat_to_rotmat,
-    strip_symmetric,
+    quat_to_rotmat_cols,
 )
 
 
@@ -123,10 +123,9 @@ def get_covariance6(
     Parity: build_covariance_from_scaling_rotation (gaussian_model.py:35-42)
     — L = R S, Sigma = L L^T, then T Sigma T^T for per-Gaussian LBS 3x3 T.
     """
-    cov = covariance_from_scaling_rotation(
+    return covariance6_from_scaling_rotation(
         get_scaling(p), p.rotation, scaling_modifier, transforms
     )
-    return strip_symmetric(cov)
 
 
 def get_minimum_axis(p: GaussianParams) -> jnp.ndarray:
@@ -135,9 +134,21 @@ def get_minimum_axis(p: GaussianParams) -> jnp.ndarray:
     Parity: utils/general_utils.py:144-150 (R column of argmin scale).
     """
     scales = get_scaling(p)
-    R = quat_to_rotmat(p.rotation)                 # [cap, 3, 3] columns = axes
+    r00, r01, r02, r10, r11, r12, r20, r21, r22 = quat_to_rotmat_cols(
+        p.rotation
+    )                                              # R columns = local axes
     idx = jnp.argmin(scales, axis=-1)              # [cap]
-    return jnp.take_along_axis(R, idx[:, None, None], axis=2)[..., 0]
+    # componentwise column select (no [cap,3,3] materialization / gather)
+    pick0 = idx == 0
+    pick1 = idx == 1
+
+    def col(c0, c1, c2):
+        return jnp.where(pick0, c0, jnp.where(pick1, c1, c2))
+
+    return jnp.stack(
+        [col(r00, r01, r02), col(r10, r11, r12), col(r20, r21, r22)],
+        axis=-1,
+    )
 
 
 def flip_align_view(normal: jnp.ndarray, viewdir: jnp.ndarray):

@@ -38,7 +38,9 @@ class TileLists(NamedTuple):
     counts: jnp.ndarray     # [T] int32 instances per tile (pre-truncation, capped at N*S)
     overflow_tiles: jnp.ndarray   # int32: total instances dropped by K truncation
     overflow_gauss: jnp.ndarray   # int32: total instances dropped by S truncation
-    sorted_gid: jnp.ndarray # [N*S] int32 tile-major depth-sorted instance ids
+    overflow_inst: jnp.ndarray    # int32: instances dropped by I compaction
+    sorted_gid: jnp.ndarray # [I] int32 tile-major depth-sorted instance ids
+    sorted_tile: jnp.ndarray # [I] int32 tile id per sorted instance (T = dead)
     starts: jnp.ndarray     # [T] int32 offset of each tile's slice in sorted_gid
 
 
@@ -71,7 +73,7 @@ def gaussian_tile_rects(
     jax.jit,
     static_argnames=(
         "width", "height", "tile_w", "tile_h",
-        "max_tiles_per_gaussian", "tile_capacity",
+        "max_tiles_per_gaussian", "tile_capacity", "instance_capacity",
     ),
 )
 def bin_gaussians(
@@ -86,6 +88,7 @@ def bin_gaussians(
     tile_h: int = 16,
     max_tiles_per_gaussian: int = 16,
     tile_capacity: int = 1024,
+    instance_capacity: int | None = None,
 ) -> TileLists:
     """Build depth-sorted per-tile lists. All shapes static.
 
@@ -94,6 +97,13 @@ def bin_gaussians(
       radii:   [N] int32 screen radii (0 = culled).
       depths:  [N] camera-space z.
       visible: [N] bool.
+      instance_capacity: I — static cap on the total (tile, gaussian)
+        instance list. None keeps the exact N*S list; a finite I compacts
+        the live instances BEFORE the sort (prefix-sum scatter), so sort /
+        gather / blend work scales with the real instance count instead of
+        the N*S worst case (at 64k capacity N*S is 1M slots while a real
+        frame has ~100-200k instances). Dropped instances (beyond I) are
+        counted in overflow_inst — counted, never silent.
     """
     N = means2d.shape[0]
     S = max_tiles_per_gaussian
@@ -130,10 +140,13 @@ def bin_gaussians(
     # RANK) into ONE int32 key — the global argsort rank preserves the exact
     # float ordering (the CUDA `tile<<32|float_bits` trick without 64-bit
     # keys, rasterizer_impl.cu:102-104), and a 1-key sort is ~2x cheaper on
-    # TPU than the lexicographic (tile, f32) 2-key sort.
+    # TPU than the lexicographic (tile, f32) 2-key sort. Keys are unique
+    # (each gaussian has a unique depth rank and appears at most once per
+    # tile), so the sorts can be unstable.
     rank_radix = 1
     while rank_radix < N:
         rank_radix *= 2
+    overflow_inst = jnp.zeros((), jnp.int32)
     if (T + 1) * rank_radix < 2**31:
         order = jnp.argsort(depths.astype(jnp.float32))
         rank = jnp.zeros((N,), jnp.int32).at[order].set(
@@ -141,7 +154,9 @@ def bin_gaussians(
         )
         flat_rank = jnp.broadcast_to(rank[:, None], (N, S)).reshape(-1)
         key = flat_tile * rank_radix + flat_rank
-        sorted_key, sorted_gid = jax.lax.sort((key, flat_gid), num_keys=1)
+        sorted_key, sorted_gid = jax.lax.sort(
+            (key, flat_gid), num_keys=1, is_stable=False
+        )
         tiles = jnp.arange(T, dtype=jnp.int32)
         starts = jnp.searchsorted(
             sorted_key, tiles * rank_radix, side="left"
@@ -149,13 +164,31 @@ def bin_gaussians(
         ends = jnp.searchsorted(
             sorted_key, (tiles + 1) * rank_radix, side="left"
         ).astype(jnp.int32)
+        sorted_tile = sorted_key // rank_radix
+        I = N * S
+        if instance_capacity is not None and instance_capacity < N * S:
+            # Dead slots carry sentinel keys (tile = T) and sort to the END,
+            # so the live instances are exactly the sorted prefix — slice it
+            # and downstream gather/blend work scales with I, not N*S. The
+            # deepest global tail is what a too-small I drops (and counts).
+            I = instance_capacity
+            total_live = jnp.searchsorted(
+                sorted_key, jnp.int32(T) * rank_radix, side="left"
+            ).astype(jnp.int32)
+            overflow_inst = jnp.maximum(total_live - I, 0)
+            sorted_gid = sorted_gid[:I]
+            sorted_tile = sorted_tile[:I]
+            starts = jnp.minimum(starts, I)
+            ends = jnp.minimum(ends, I)
     else:
+        I = N * S
         flat_depth = jnp.broadcast_to(
             depths[:, None], (N, S)
         ).reshape(-1).astype(jnp.float32)
         sorted_tile, _, sorted_gid = jax.lax.sort(
             (flat_tile, flat_depth, flat_gid), num_keys=2
         )
+        sorted_tile = sorted_tile.astype(jnp.int32)
         tiles = jnp.arange(T, dtype=jnp.int32)
         starts = jnp.searchsorted(
             sorted_tile, tiles, side="left"
@@ -166,7 +199,7 @@ def bin_gaussians(
     counts = ends - starts
 
     k = jnp.arange(K, dtype=jnp.int32)[None, :]                     # [1, K]
-    pos = jnp.clip(starts[:, None] + k, 0, N * S - 1)
+    pos = jnp.clip(starts[:, None] + k, 0, I - 1)
     idx = sorted_gid[pos]                                           # [T, K]
     valid = k < counts[:, None]
     overflow_tiles = jnp.sum(jnp.maximum(counts - K, 0)).astype(jnp.int32)
@@ -177,6 +210,8 @@ def bin_gaussians(
         counts=counts,
         overflow_tiles=overflow_tiles,
         overflow_gauss=overflow_gauss,
+        overflow_inst=overflow_inst,
         sorted_gid=sorted_gid,
+        sorted_tile=sorted_tile,
         starts=starts,
     )

@@ -45,6 +45,34 @@ class InstanceData(NamedTuple):
     counts: jnp.ndarray   # [T] i32 instances per tile
 
 
+def attr_matrix(
+    means2d: jnp.ndarray,       # [N, 2]
+    conics: jnp.ndarray,        # [N, 3]
+    opacities: jnp.ndarray,     # [N]
+    depths: jnp.ndarray,        # [N]
+    features: jnp.ndarray,      # [N, C]
+) -> jnp.ndarray:
+    """Component-major per-Gaussian attribute matrix [8 + ceil8(C), N]
+    (row layout in the module docstring). Shared by the single-device
+    instance gather and the tile-sharded exchange (parallel/raster.py)."""
+    n = means2d.shape[0]
+    c = features.shape[-1]
+    c_pad = -(-c // 8) * 8 - c
+    return jnp.concatenate(
+        [
+            means2d.T,
+            conics.T,
+            opacities[None, :],
+            depths[None, :],
+            jnp.ones((1, n), jnp.float32),   # ones row: yields w_sum in the
+                                             # same MXU matmul as the features
+            features.T,
+            jnp.zeros((c_pad, n), jnp.float32),
+        ],
+        axis=0,
+    )
+
+
 def build_instance_data(
     sorted_gid: jnp.ndarray,    # [NS] depth-sorted gaussian ids (tile-major)
     starts: jnp.ndarray,        # [T]
@@ -65,26 +93,14 @@ def build_instance_data(
     # Row-major attribute matrix [D, N], then ONE lane-gather to instance
     # order. (Gathering [NS, D] rows and transposing costs ~2.4ms at 512^2;
     # the lane-gather form stays in a TPU-friendly layout throughout.)
-    attrs = jnp.concatenate(
-        [
-            means2d.T,
-            conics.T,
-            opacities[None, :],
-            depths[None, :],
-            jnp.ones((1, n), jnp.float32),   # ones row: yields w_sum in the
-                                             # same MXU matmul as the features
-            features.T,
-            jnp.zeros((c_pad, n), jnp.float32),
-        ],
-        axis=0,
-    )                                           # [8 + ceil8(C), N]
-    data = jnp.take(attrs, g, axis=1)           # [D, NS]
-    # Pad lanes so any (start + i*chunk, chunk) slice stays in bounds even
-    # for an unaligned start near the end.
+    attrs = attr_matrix(means2d, conics, opacities, depths, features)
+    # Pad the INDEX array (cheap, [pad] i32) instead of padding the gathered
+    # [D, NS] matrix (a 400us pad of 128 MB at 64k capacity); padded entries
+    # gather gaussian 0 — finite garbage the kernel's count mask never reads.
+    # Indices are always < n, so promise_in_bounds skips the oob select.
     pad = chunk + ((-ns) % chunk)
-    data = jnp.concatenate(
-        [data, jnp.zeros((data.shape[0], pad), data.dtype)], axis=1
-    )
+    g_pad = jnp.concatenate([g, jnp.zeros((pad,), g.dtype)])
+    data = attrs.at[:, g_pad].get(mode="promise_in_bounds")
     return InstanceData(data=data, starts=starts, counts=counts)
 
 
@@ -102,7 +118,7 @@ def _lane_cumsum(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _blend_kernel(
-    starts_ref, counts_ref,       # scalar prefetch
+    starts_ref, counts_ref, tile_base_ref,   # scalar prefetch
     data_ref,                     # [D, NS] in ANY/HBM
     prefill_ref,                  # [T, P, C_OUT] background, aliased to out
     out_ref,                      # [T, P, C_OUT] in ANY/HBM (DMA writes)
@@ -116,7 +132,12 @@ def _blend_kernel(
     tiles_per_step: int,
 ):
     """Blend `tiles_per_step` consecutive tiles per grid step (amortizes the
-    per-grid-step Mosaic overhead, which dominates for sparse tiles)."""
+    per-grid-step Mosaic overhead, which dominates for sparse tiles).
+
+    tile_base_ref[0] offsets local tile ids into the GLOBAL tile grid for
+    pixel-coordinate math — a shard_map shard blends tiles
+    [tile_base, tile_base + T_local) of the full image (parallel/raster.py);
+    single-device callers pass 0."""
     P = tile_w * tile_h
     # In-tile pixel pattern is tile-invariant: compute the int mod/div chain
     # ONCE per grid step (integer div expands to long VPU sequences).
@@ -141,8 +162,9 @@ def _blend_kernel(
         base0 = (start // chunk) * chunk
         offset = start - base0
         n_chunks = pl.cdiv(offset + count, chunk)
-        x0 = ((t % tiles_x) * tile_w).astype(jnp.float32)
-        y0 = ((t // tiles_x) * tile_h).astype(jnp.float32)
+        tg = tile_base_ref[0] + t
+        x0 = ((tg % tiles_x) * tile_w).astype(jnp.float32)
+        y0 = ((tg // tiles_x) * tile_h).astype(jnp.float32)
         px = x0 + pix_x
         py = y0 + pix_y
 
@@ -213,6 +235,76 @@ def _blend_kernel(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("n_tiles", "tiles_x", "tile_w", "tile_h", "chunk",
+                     "interpret"),
+)
+def blend_tiles_raw(
+    data: jnp.ndarray,       # [D, NS_pad] instance matrix (lane-padded)
+    starts: jnp.ndarray,     # [n_tiles] local-tile slice offsets
+    counts: jnp.ndarray,     # [n_tiles]
+    tile_base: jnp.ndarray,  # [1] i32 — global index of local tile 0
+    *,
+    n_tiles: int,
+    tiles_x: int,
+    tile_w: int = 16,
+    tile_h: int = 16,
+    chunk: int = 2 * LANE,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run the blend kernel over `n_tiles` consecutive tiles of a global
+    `tiles_x`-wide grid; returns raw tile-major output [n_tiles, c_stage, P]
+    (feature rows, then w_sum, d_sum, final_t rows). This is the shard-level
+    entry used by the tile-sharded rasterizer (parallel/raster.py); the
+    single-device blend_pallas_raw wraps it with tile_base = 0."""
+    T = n_tiles
+    P = tile_w * tile_h
+    D = data.shape[0]
+    n_feat = D - HDR             # padded feature count (multiple of 8)
+    c_out = n_feat + 3
+    c_stage = -(-c_out // 8) * 8  # staged rows (sublane multiple of 8)
+
+    TB = 32                       # ranked-tile batching per grid step
+    while T % TB:
+        TB -= 1
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(T // TB,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),        # data stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),        # prefill (aliased)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),  # DMA-written per tile
+        scratch_shapes=[
+            pltpu.VMEM((D, chunk), jnp.float32),
+            pltpu.VMEM((c_stage, P), jnp.float32),    # lane-major staging
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kernel = functools.partial(
+        _blend_kernel, tile_w=tile_w, tile_h=tile_h, tiles_x=tiles_x,
+        n_feat=n_feat, chunk=chunk, tiles_per_step=TB,
+    )
+    # background prefill: zero color/alpha/depth, final_t = 1; the kernel
+    # only overwrites non-empty tiles (input_output alias; indices count
+    # the scalar-prefetch args)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (T, c_stage, P), 1)
+    prefill = jnp.where(rows == n_feat + 2, 1.0, 0.0)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((T, c_stage, P), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        input_output_aliases={4: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            has_side_effects=True,
+        ),
+    )(starts, counts, tile_base.astype(jnp.int32), data, prefill)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("width", "height", "tile_w", "tile_h", "chunk",
                      "n_channels", "interpret"),
 )
@@ -234,51 +326,37 @@ def blend_pallas_raw(
     tw = -(-width // tile_w)
     th = -(-height // tile_h)
     T = tw * th
-    P = tile_w * tile_h
     D = inst.data.shape[0]
-    n_feat = D - HDR             # padded feature count (multiple of 8)
-    c_out = n_feat + 3
-    c_stage = -(-c_out // 8) * 8  # staged rows (sublane multiple of 8)
+    n_feat = D - HDR
 
-    TB = 32                       # ranked-tile batching per grid step
-    while T % TB:
-        TB -= 1
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(T // TB,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),        # data stays in HBM
-            pl.BlockSpec(memory_space=pl.ANY),        # prefill (aliased)
-        ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),  # DMA-written per tile
-        scratch_shapes=[
-            pltpu.VMEM((D, chunk), jnp.float32),
-            pltpu.VMEM((c_stage, P), jnp.float32),    # lane-major staging
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-    )
-    kernel = functools.partial(
-        _blend_kernel, tile_w=tile_w, tile_h=tile_h, tiles_x=tw,
-        n_feat=n_feat, chunk=chunk, tiles_per_step=TB,
-    )
-    # background prefill: zero color/alpha/depth, final_t = 1; the kernel
-    # only overwrites non-empty tiles (input_output alias; indices count
-    # the scalar-prefetch args)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (T, c_stage, P), 1)
-    prefill = jnp.where(rows == n_feat + 2, 1.0, 0.0)
-    tiles_out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((T, c_stage, P), jnp.float32),
-        grid_spec=grid_spec,
+    tiles_out = blend_tiles_raw(
+        inst.data, inst.starts, inst.counts, jnp.zeros((1,), jnp.int32),
+        n_tiles=T, tiles_x=tw, tile_w=tile_w, tile_h=tile_h, chunk=chunk,
         interpret=interpret,
-        input_output_aliases={3: 0},
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-            has_side_effects=True,
-        ),
-    )(inst.starts, inst.counts, inst.data, prefill)
+    )
 
+    return finish_tiles(
+        tiles_out, bg, n_channels=n_channels, n_feat=n_feat,
+        width=width, height=height, tile_w=tile_w, tile_h=tile_h,
+    )
+
+
+def finish_tiles(
+    tiles_out: jnp.ndarray,      # [T, c_stage, P] raw kernel output
+    bg: jnp.ndarray,             # [n_channels]
+    *,
+    n_channels: int,
+    n_feat: int,
+    width: int,
+    height: int,
+    tile_w: int,
+    tile_h: int,
+):
+    """Background-compose + tile-major -> [H, W, ...] assembly. Shared by
+    the single-device path and the tile-sharded rasterizer (which
+    concatenates per-strip kernel outputs into the same global [T, ...])."""
+    tw = -(-width // tile_w)
+    th = -(-height // tile_h)
     color = tiles_out[:, :n_channels, :]                 # [T, C, P]
     w_sum = tiles_out[:, n_feat, :]
     d_sum = tiles_out[:, n_feat + 1, :]
@@ -434,3 +512,63 @@ def _blend_pallas_bwd(
 
 
 blend_pallas.defvjp(_blend_pallas_fwd, _blend_pallas_bwd)
+
+
+# ----------------------------------------------------------------------------
+# Instance-level differentiable blend (the shard_map / tile-strip entry).
+#
+# blend_pallas differentiates w.r.t. PER-GAUSSIAN arrays and rebuilds the
+# instance gather internally — that requires every shard to hold the full
+# Gaussian set. Under the tile-sharded rasterizer (parallel/raster.py) a
+# shard only holds EXCHANGED instance data for its strip, so the custom_vjp
+# must sit at the instance-data level: gradients flow back through the
+# all_to_all exchange to the owning shard via plain XLA AD.
+# ----------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def blend_instances(
+    data, starts, counts, tile_base,
+    n_tiles, tiles_x, tile_w, tile_h, interpret,
+):
+    """Differentiable raw tile blend: [D, NS_pad] instance matrix ->
+    [n_tiles, c_stage, P] (rows: features, w_sum, d_sum, final_t)."""
+    return blend_tiles_raw(
+        data, starts, counts, tile_base,
+        n_tiles=n_tiles, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h,
+        interpret=interpret,
+    )
+
+
+def _blend_instances_fwd(
+    data, starts, counts, tile_base,
+    n_tiles, tiles_x, tile_w, tile_h, interpret,
+):
+    out = blend_instances(
+        data, starts, counts, tile_base,
+        n_tiles, tiles_x, tile_w, tile_h, interpret,
+    )
+    return out, (data, starts, counts, tile_base)
+
+
+def _blend_instances_bwd(
+    n_tiles, tiles_x, tile_w, tile_h, interpret, res, g,
+):
+    from mygauhuman_tpu.ops.pallas_blend_bwd import blend_tiles_bwd_raw
+
+    data, starts, counts, tile_base = res
+    D = data.shape[0]
+    n_feat = D - HDR
+    c_out = n_feat + 3
+    # kernel cotangent layout: [T, P, c_out] = transpose of the output's
+    # leading c_out rows (unused stage-pad rows carry no cotangent)
+    cot = jnp.transpose(g[:, :c_out, :], (0, 2, 1))
+    d_data = blend_tiles_bwd_raw(
+        data, starts, counts, tile_base, cot,
+        n_tiles=n_tiles, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h,
+        interpret=interpret,
+    )
+    return (d_data, None, None, None)
+
+
+blend_instances.defvjp(_blend_instances_fwd, _blend_instances_bwd)

@@ -46,7 +46,7 @@ def _lane_reverse_cumsum_exclusive(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _blend_bwd_kernel(
-    starts_ref, counts_ref,       # scalar prefetch
+    starts_ref, counts_ref, tile_base_ref,   # scalar prefetch
     data_ref,                     # [D, NS] instance data in HBM (ANY)
     cot_ref,                      # [TB, P, c_out] cotangents block per step
     grad_init_ref,                # zero-init input, aliased to grad_ref
@@ -83,8 +83,9 @@ def _blend_bwd_kernel(
         offset = start - base0
         n_chunks = pl.cdiv(offset + count, chunk)
 
-        x0 = ((t % tiles_x) * tile_w).astype(jnp.float32)
-        y0 = ((t // tiles_x) * tile_h).astype(jnp.float32)
+        tg = tile_base_ref[0] + t      # global tile id (shard strip offset)
+        x0 = ((tg % tiles_x) * tile_w).astype(jnp.float32)
+        y0 = ((tg // tiles_x) * tile_h).astype(jnp.float32)
         px = x0 + pix_x
         py = y0 + pix_y
 
@@ -237,26 +238,27 @@ def _blend_bwd_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "tile_w", "tile_h", "chunk",
+    static_argnames=("n_tiles", "tiles_x", "tile_w", "tile_h", "chunk",
                      "interpret"),
 )
-def blend_pallas_bwd_raw(
+def blend_tiles_bwd_raw(
     data: jnp.ndarray,       # [D, NS] forward instance matrix (padded)
-    starts: jnp.ndarray,     # [T]
-    counts: jnp.ndarray,     # [T] (K-capped)
-    cotangents: jnp.ndarray,  # [T, P, c_out] tile-major (g_color, g_a, g_d, g_T)
+    starts: jnp.ndarray,     # [n_tiles]
+    counts: jnp.ndarray,     # [n_tiles] (K-capped)
+    tile_base: jnp.ndarray,  # [1] i32 — global index of local tile 0
+    cotangents: jnp.ndarray,  # [n_tiles, P, c_out] (g_color, g_a, g_d, g_T)
     *,
-    width: int,
-    height: int,
+    n_tiles: int,
+    tiles_x: int,
     tile_w: int = 16,
     tile_h: int = 16,
     chunk: int = 2 * LANE,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Run the backward kernel -> instance-major grads [G, NS]."""
-    tw = -(-width // tile_w)
-    th = -(-height // tile_h)
-    T = tw * th
+    """Backward kernel over `n_tiles` consecutive tiles of a global grid ->
+    instance-major grads [G, NS]. Shard-level entry (parallel/raster.py);
+    blend_pallas_bwd_raw wraps with tile_base = 0."""
+    T = n_tiles
     P = tile_w * tile_h
     D = data.shape[0]
     n_feat = D - HDR
@@ -269,7 +271,7 @@ def blend_pallas_bwd_raw(
         TB //= 2
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(T // TB,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),       # data
@@ -289,7 +291,7 @@ def blend_pallas_bwd_raw(
         ],
     )
     kernel = functools.partial(
-        _blend_bwd_kernel, tile_w=tile_w, tile_h=tile_h, tiles_x=tw,
+        _blend_bwd_kernel, tile_w=tile_w, tile_h=tile_h, tiles_x=tiles_x,
         n_feat=n_feat, chunk=chunk, tiles_per_step=TB, max_chunks=max_chunks,
     )
     zeros = jnp.zeros((D, NS), jnp.float32)
@@ -300,7 +302,30 @@ def blend_pallas_bwd_raw(
         out_shape=jax.ShapeDtypeStruct((D, NS), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-        input_output_aliases={4: 0},
+        input_output_aliases={5: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, counts, data, cotangents, zeros)
+    )(starts, counts, tile_base.astype(jnp.int32), data, cotangents, zeros)
     return grads
+
+
+def blend_pallas_bwd_raw(
+    data: jnp.ndarray,       # [D, NS] forward instance matrix (padded)
+    starts: jnp.ndarray,     # [T]
+    counts: jnp.ndarray,     # [T] (K-capped)
+    cotangents: jnp.ndarray,  # [T, P, c_out] tile-major (g_color, g_a, g_d, g_T)
+    *,
+    width: int,
+    height: int,
+    tile_w: int = 16,
+    tile_h: int = 16,
+    chunk: int = 2 * LANE,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run the backward kernel -> instance-major grads [G, NS]."""
+    tw = -(-width // tile_w)
+    th = -(-height // tile_h)
+    return blend_tiles_bwd_raw(
+        data, starts, counts, jnp.zeros((1,), jnp.int32), cotangents,
+        n_tiles=tw * th, tiles_x=tw, tile_w=tile_w, tile_h=tile_h,
+        chunk=chunk, interpret=interpret,
+    )

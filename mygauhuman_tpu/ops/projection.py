@@ -18,7 +18,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from mygauhuman_tpu.utils.transforms import covariance_from_scaling_rotation, strip_symmetric
+from mygauhuman_tpu.utils.transforms import covariance6_from_scaling_rotation
 
 
 class ProjectedGaussians(NamedTuple):
@@ -64,6 +64,9 @@ def compute_cov2d(
     Returns:
       [N, 3] (xx, xy, yy).
     """
+    # Componentwise throughout: batched [N,2,3]/[N,3,3] dot_generals force
+    # padded T(·,128) layouts (~1.9 ms/frame at 64k); elementwise chains over
+    # [N] slices fuse into one VPU pass.
     t = means3d @ w2c[:3, :3].T + w2c[:3, 3]
     tz = t[..., 2]
     limx = 1.3 * tan_fovx
@@ -73,31 +76,33 @@ def compute_cov2d(
 
     inv_tz = 1.0 / tz
     inv_tz2 = inv_tz * inv_tz
-    # J: [N, 2, 3]
-    zeros = jnp.zeros_like(tz)
-    J = jnp.stack(
-        [
-            jnp.stack([focal_x * inv_tz, zeros, -focal_x * tx * inv_tz2], axis=-1),
-            jnp.stack([zeros, focal_y * inv_tz, -focal_y * ty * inv_tz2], axis=-1),
-        ],
-        axis=-2,
-    )
-    W = w2c[:3, :3]  # [3, 3]
-    T = J @ W  # [N, 2, 3]
+    # J rows (only 4 nonzero entries): j00 = fx/z, j02 = -fx x/z^2,
+    #                                  j11 = fy/z, j12 = -fy y/z^2
+    j00 = focal_x * inv_tz
+    j02 = -focal_x * tx * inv_tz2
+    j11 = focal_y * inv_tz
+    j12 = -focal_y * ty * inv_tz2
+    W = w2c[:3, :3]
+    # T = J W: row 0 = j00*W[0,:] + j02*W[2,:]; row 1 = j11*W[1,:] + j12*W[2,:]
+    t00 = j00 * W[0, 0] + j02 * W[2, 0]
+    t01 = j00 * W[0, 1] + j02 * W[2, 1]
+    t02 = j00 * W[0, 2] + j02 * W[2, 2]
+    t10 = j11 * W[1, 0] + j12 * W[2, 0]
+    t11 = j11 * W[1, 1] + j12 * W[2, 1]
+    t12 = j11 * W[1, 2] + j12 * W[2, 2]
 
     xx, xy, xz, yy, yz, zz = (cov3d6[..., i] for i in range(6))
-    Sigma = jnp.stack(
-        [
-            jnp.stack([xx, xy, xz], axis=-1),
-            jnp.stack([xy, yy, yz], axis=-1),
-            jnp.stack([xz, yz, zz], axis=-1),
-        ],
-        axis=-2,
-    )  # [N, 3, 3]
-    cov = T @ Sigma @ jnp.swapaxes(T, -1, -2)  # [N, 2, 2]
-    return jnp.stack(
-        [cov[..., 0, 0] + 0.3, cov[..., 0, 1], cov[..., 1, 1] + 0.3], axis=-1
-    )
+    # A = T Sigma (2x3), cov2d = A T^T (2x2 symmetric)
+    a00 = t00 * xx + t01 * xy + t02 * xz
+    a01 = t00 * xy + t01 * yy + t02 * yz
+    a02 = t00 * xz + t01 * yz + t02 * zz
+    a10 = t10 * xx + t11 * xy + t12 * xz
+    a11 = t10 * xy + t11 * yy + t12 * yz
+    a12 = t10 * xz + t11 * yz + t12 * zz
+    c00 = a00 * t00 + a01 * t01 + a02 * t02
+    c01 = a00 * t10 + a01 * t11 + a02 * t12
+    c11 = a10 * t10 + a11 * t11 + a12 * t12
+    return jnp.stack([c00 + 0.3, c01, c11 + 0.3], axis=-1)
 
 
 def compute_cov3d(
@@ -107,8 +112,8 @@ def compute_cov3d(
     transform: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """[N,3] scales (activated), [N,4] quats -> [N,6] symmetric covariance."""
-    return strip_symmetric(
-        covariance_from_scaling_rotation(scaling, quat, scaling_modifier, transform)
+    return covariance6_from_scaling_rotation(
+        scaling, quat, scaling_modifier, transform
     )
 
 

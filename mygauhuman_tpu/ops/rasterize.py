@@ -37,6 +37,8 @@ class RasterizerConfig(NamedTuple):
     use_pallas: bool = False      # Pallas blend kernel (TPU); jnp otherwise
     pallas_interpret: bool = False  # interpret-mode Pallas (CPU testing)
     pallas_kernel_bwd: bool = True  # Pallas backward kernel (vs jnp autodiff)
+    instance_capacity: int | None = None  # compacted instance-list cap I
+                                  # (None = exact N*S; see bin_gaussians)
 
 
 class RasterizeOutput(NamedTuple):
@@ -49,6 +51,7 @@ class RasterizeOutput(NamedTuple):
     visible: jnp.ndarray      # [N] bool (frustum + rect test)
     overflow_tiles: jnp.ndarray
     overflow_gauss: jnp.ndarray
+    overflow_inst: jnp.ndarray
 
 
 @functools.partial(
@@ -92,6 +95,7 @@ def rasterize(
         tile_h=config.tile_h,
         max_tiles_per_gaussian=config.max_tiles_per_gaussian,
         tile_capacity=config.tile_capacity,
+        instance_capacity=config.instance_capacity,
     )
     if config.use_pallas:
         out = blend_pallas(
@@ -140,6 +144,7 @@ def rasterize(
         visible=visible,
         overflow_tiles=bins.overflow_tiles,
         overflow_gauss=bins.overflow_gauss,
+        overflow_inst=bins.overflow_inst,
     )
 
 

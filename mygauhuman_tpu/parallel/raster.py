@@ -1,0 +1,247 @@
+"""Tile-sharded multi-chip rasterizer: shard_map over ("gauss", "tiles").
+
+No reference analogue — the reference is single-GPU, single-process
+(SURVEY.md §2.9); this is the BASELINE.md north-star design (§5.7/§5.8):
+
+  1. Per-Gaussian arrays shard over the COMBINED ("gauss", "tiles") axes —
+     every device preprocesses + bins its own capacity slice against the
+     full tile grid (embarrassingly parallel, no communication).
+  2. The global tile grid is split into n_shards contiguous strips; each
+     device slices, from its local tile-major sorted instance list, a
+     bounded window of instances per destination strip and attaches the
+     blended attribute rows (the instance payload).
+  3. ONE all_to_all over ("gauss", "tiles") delivers every shard's window
+     for strip s to the device that owns s — the "tile x depth sorted list
+     is the KV being exchanged" design from SURVEY §5.7, with bounded,
+     counted truncation instead of dynamic shapes.
+  4. Each device merge-sorts its received instances by (tile, depth,
+     global id) — exact depth ordering across shards, deterministic
+     tie-break matching the single-device rank sort — and blends its strip
+     with the Pallas kernel (ops/pallas_blend.py::blend_instances, whose
+     custom_vjp runs the Pallas backward kernel).
+
+Gradients flow back automatically: blend VJP -> instance-data cotangents ->
+sort/gather transposes -> all_to_all transpose (the reverse exchange) ->
+attribute-matrix scatter on the owning shard -> preprocess chain. All
+reductions are segment-sums — bitwise deterministic, no atomics.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from mygauhuman_tpu.ops.binning import bin_gaussians, tile_dims
+from mygauhuman_tpu.ops.pallas_blend import (
+    HDR,
+    LANE,
+    attr_matrix,
+    blend_instances,
+    finish_tiles,
+)
+from mygauhuman_tpu.ops.projection import preprocess
+from mygauhuman_tpu.ops.rasterize import RasterizeOutput, RasterizerConfig
+
+
+def mesh_shard_count(mesh: Mesh, axis_names: tuple) -> int:
+    return int(math.prod(mesh.shape[a] for a in axis_names))
+
+
+def rasterize_sharded(
+    means3d: jnp.ndarray,       # [N, 3] world, sharded over axis_names
+    cov3d6: jnp.ndarray,        # [N, 6]
+    opacities: jnp.ndarray,     # [N]
+    features: jnp.ndarray,      # [N, C]
+    w2c: jnp.ndarray,           # [4, 4] replicated
+    full_proj: jnp.ndarray,     # [4, 4]
+    bg: jnp.ndarray,            # [C]
+    *,
+    mesh: Mesh,
+    width: int,
+    height: int,
+    tan_fovx: float,
+    tan_fovy: float,
+    config: RasterizerConfig = RasterizerConfig(),
+    axis_names: tuple = ("gauss", "tiles"),
+    exchange_capacity: int | None = None,
+    means2d_offset: jnp.ndarray | None = None,
+    alive: jnp.ndarray | None = None,
+) -> RasterizeOutput:
+    """Multi-chip rasterize. Per-Gaussian inputs must be shardable over the
+    combined axis_names (leading dim divisible by the shard count).
+
+    exchange_capacity bounds the per-(source shard, dest strip) instance
+    window of the all_to_all; overflow is counted in overflow_inst. None
+    uses the worst case (the shard's whole local list) — exact, but sized
+    for pathology; real scenes need ~(instances / n_shards) * safety.
+    """
+    n = means3d.shape[0]
+    n_shards = mesh_shard_count(mesh, axis_names)
+    assert n % n_shards == 0, (n, n_shards)
+    n_local = n // n_shards
+
+    tile_w, tile_h = config.tile_w, config.tile_h
+    tw, th = tile_dims(width, height, tile_w, tile_h)
+    T = tw * th
+    T_strip = -(-T // n_shards)
+    S = config.max_tiles_per_gaussian
+    K = config.tile_capacity
+    ns_local = n_local * S
+    I_ex = exchange_capacity if exchange_capacity is not None else ns_local
+    I_ex = min(I_ex, ns_local)
+    chunk = 2 * LANE
+
+    if means2d_offset is None:
+        means2d_offset = jnp.zeros((n, 2), jnp.float32)
+    if alive is None:
+        alive = jnp.ones((n,), bool)
+
+    # static strip boundaries in tile space
+    strip_lo = [min(s * T_strip, T) for s in range(n_shards + 1)]
+
+    spec_g = P(axis_names)
+    repl = P()
+
+    def body(means3d, cov3d6, opacities, features, m2d_off, alive,
+             w2c, full_proj):
+        shard = jax.lax.axis_index(axis_names)
+
+        # ---- stage 1: local geometry (no communication)
+        proj = preprocess(
+            means3d, cov3d6, w2c, full_proj, width, height,
+            tan_fovx, tan_fovy,
+        )
+        means2d = proj.means2d + m2d_off
+        visible = proj.visible & alive
+        bins = bin_gaussians(
+            jax.lax.stop_gradient(means2d),
+            proj.radii,
+            jax.lax.stop_gradient(proj.depths),
+            visible,
+            width=width, height=height, tile_w=tile_w, tile_h=tile_h,
+            max_tiles_per_gaussian=S, tile_capacity=K,
+        )
+
+        # ---- stage 2: bounded per-strip windows of the local sorted list
+        total_live = jnp.searchsorted(
+            bins.sorted_tile, jnp.int32(T), side="left"
+        ).astype(jnp.int32)
+        starts_ext = jnp.concatenate([bins.starts, total_live[None]])
+        lo = starts_ext[jnp.asarray(strip_lo[:-1], jnp.int32)]   # [S_n]
+        hi = starts_ext[jnp.asarray(strip_lo[1:], jnp.int32)]
+        wlen = hi - lo
+        exch_drop = jnp.sum(jnp.maximum(wlen - I_ex, 0)).astype(jnp.int32)
+
+        gid_pad = jnp.concatenate(
+            [bins.sorted_gid, jnp.zeros((I_ex,), jnp.int32)]
+        )
+        tile_pad = jnp.concatenate(
+            [bins.sorted_tile, jnp.full((I_ex,), T, jnp.int32)]
+        )
+
+        def window(arr, st):
+            return jax.lax.dynamic_slice(arr, (st,), (I_ex,))
+
+        gid_w = jax.vmap(window, in_axes=(None, 0))(gid_pad, lo)
+        tile_w_ids = jax.vmap(window, in_axes=(None, 0))(tile_pad, lo)
+        lane = jnp.arange(I_ex, dtype=jnp.int32)[None, :]
+        valid_w = lane < jnp.minimum(wlen, I_ex)[:, None]
+        tile_w_ids = jnp.where(valid_w, tile_w_ids, T)
+
+        # instance payload: attribute columns (differentiable), global gid
+        attrs = attr_matrix(
+            means2d, proj.conics, opacities, proj.depths, features
+        )                                                   # [D, n_local]
+        data_w = attrs[:, gid_w]                            # [D, S_n, I_ex]
+        data_w = jnp.transpose(data_w, (1, 0, 2))           # [S_n, D, I_ex]
+        gid_g = shard * n_local + gid_w                     # global ids
+
+        # ---- stage 3: the exchange (strip s's instances -> its owner)
+        recv_data = jax.lax.all_to_all(
+            data_w, axis_names, split_axis=0, concat_axis=0
+        )
+        recv_tile = jax.lax.all_to_all(
+            tile_w_ids, axis_names, split_axis=0, concat_axis=0
+        )
+        recv_gid = jax.lax.all_to_all(
+            gid_g, axis_names, split_axis=0, concat_axis=0
+        )
+
+        # ---- stage 4: merge-sort received instances, blend own strip
+        E = n_shards * I_ex
+        rdata = jnp.transpose(recv_data, (1, 0, 2)).reshape(-1, E)
+        rtile = recv_tile.reshape(E)
+        rgid = recv_gid.reshape(E)
+        rdepth = jax.lax.stop_gradient(rdata[HDR - 2])      # depth row
+        srt_tile, _, _, perm = jax.lax.sort(
+            (rtile, rdepth, rgid, jnp.arange(E, dtype=jnp.int32)),
+            num_keys=3,
+        )
+        pad = chunk + ((-E) % chunk)
+        perm_pad = jnp.concatenate([perm, jnp.zeros((pad,), jnp.int32)])
+        data_sorted = rdata.at[:, perm_pad].get(mode="promise_in_bounds")
+
+        t0 = shard * T_strip
+        tiles_local = t0 + jnp.arange(T_strip, dtype=jnp.int32)
+        lstarts = jnp.searchsorted(
+            srt_tile, tiles_local, side="left"
+        ).astype(jnp.int32)
+        lends = jnp.searchsorted(
+            srt_tile, tiles_local + 1, side="left"
+        ).astype(jnp.int32)
+        lcounts = jnp.minimum(lends - lstarts, K)
+        strip_overflow = jnp.sum(
+            jnp.maximum(lends - lstarts - K, 0)
+        ).astype(jnp.int32)
+
+        tiles_out = blend_instances(
+            data_sorted, lstarts, lcounts, jnp.full((1,), t0, jnp.int32),
+            T_strip, tw, tile_w, tile_h, config.pallas_interpret,
+        )                                                   # [T_s, c_st, P]
+
+        radii = jnp.where(visible, proj.radii, 0)
+        counters = (
+            jax.lax.psum(bins.overflow_tiles + strip_overflow, axis_names),
+            jax.lax.psum(bins.overflow_gauss, axis_names),
+            jax.lax.psum(exch_drop, axis_names),
+        )
+        return tiles_out, radii, means2d, visible, counters
+
+    out_specs = (
+        P(axis_names),   # tiles_out strips concat over the combined axis
+        spec_g,          # radii
+        spec_g,          # means2d
+        spec_g,          # visible
+        (repl, repl, repl),
+    )
+    tiles_out, radii, means2d, visible, counters = shard_map(
+        body, mesh=mesh,
+        in_specs=(spec_g, spec_g, spec_g, spec_g, spec_g, spec_g,
+                  repl, repl),
+        out_specs=out_specs,
+        check_rep=False,
+    )(means3d, cov3d6, opacities, features, means2d_offset, alive,
+      w2c, full_proj)
+
+    n_feat = -(-features.shape[-1] // 8) * 8   # ceil8-padded feature rows
+    image, alpha, depth, final_t = finish_tiles(
+        tiles_out[:T], bg,
+        n_channels=features.shape[-1], n_feat=n_feat,
+        width=width, height=height, tile_w=tile_w, tile_h=tile_h,
+    )
+    ov_tiles, ov_gauss, ov_inst = counters
+    return RasterizeOutput(
+        image=image,
+        alpha=alpha,
+        depth=depth,
+        final_t=final_t,
+        radii=radii,
+        means2d=means2d,
+        visible=visible,
+        overflow_tiles=ov_tiles,
+        overflow_gauss=ov_gauss,
+        overflow_inst=ov_inst,
+    )

@@ -41,7 +41,7 @@ from mygauhuman_tpu.models.mlps import apply_lbs_offset, apply_pose_refiner
 from mygauhuman_tpu.models.smpl import SMPLModel
 from mygauhuman_tpu.ops.rasterize import RasterizerConfig, rasterize
 from mygauhuman_tpu.ops.sh import eval_sh_color
-from mygauhuman_tpu.utils.transforms import normalize
+from mygauhuman_tpu.utils.transforms import normalize, rot_apply
 
 
 class _Channels:
@@ -85,6 +85,7 @@ class RenderResult(NamedTuple):
     correct_Rs: jnp.ndarray | None
     overflow_tiles: jnp.ndarray  # binning truncation counters (scalars);
     overflow_gauss: jnp.ndarray  # logged every densify event, never silent
+    overflow_inst: jnp.ndarray
 
 
 def _pack_bg(bg_rgb: jnp.ndarray) -> jnp.ndarray:
@@ -120,10 +121,10 @@ def render_frame(
 
     if transforms is not None and translation is not None:
         # Eval fast path: replay cached per-pose LBS (skips MLPs + deform).
-        means3d = (
-            jnp.einsum("nij,nj->ni", transforms, means_canonical) + translation
-        )
-        world_normal = jnp.einsum("nij,nj->ni", transforms, p.normal)
+        # rot_apply = the einsum as a fused elementwise chain (batched
+        # [N,3,3] dot_generals cost ~0.4 ms each at 64k in padded layouts)
+        means3d = rot_apply(transforms, means_canonical) + translation
+        world_normal = rot_apply(transforms, p.normal)
     else:
         lbs_offset = None
         if mlp_params is not None:
@@ -153,7 +154,7 @@ def render_frame(
     # to world by the LBS transform (reference :127-128).
     axis = get_minimum_axis(p)
     axis, _ = flip_align_view(axis, viewdir)
-    world_axis = normalize(jnp.einsum("nij,nj->ni", transforms, axis))
+    world_axis = normalize(rot_apply(transforms, axis))
     world_normal = normalize(world_normal)
 
     # Camera-space copies with y-flip, mapped to [0, 1] (reference :166-173).
@@ -225,4 +226,5 @@ def render_frame(
         correct_Rs=correct_Rs,
         overflow_tiles=out.overflow_tiles,
         overflow_gauss=out.overflow_gauss,
+        overflow_inst=out.overflow_inst,
     )

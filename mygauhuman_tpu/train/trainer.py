@@ -179,6 +179,7 @@ def make_train_step(
             total, metrics = compute_losses_a(out, batch, scaling_mean, lpips_fn)
             metrics["overflow_tiles"] = out.overflow_tiles
             metrics["overflow_gauss"] = out.overflow_gauss
+            metrics["overflow_inst"] = out.overflow_inst
             return total, (metrics, out.radii)
 
         (_, (metrics, radii)), grads = jax.value_and_grad(

@@ -158,6 +158,100 @@ def inverse_sigmoid(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.log(x / (1.0 - x))
 
 
+# ----------------------------------------------------------------------------
+# Componentwise (struct-of-arrays) forms for the per-Gaussian hot path.
+#
+# Batched small-matrix ops ([N,3,3] @ [N,3] dot_generals and their stacked
+# intermediates) force XLA to materialize T(·,128)-tiled layouts where a 3x3
+# matrix occupies a 4x128 tile — ~40x memory waste; at 64k Gaussians the
+# profiler attributed ~6 ms/frame to exactly these ops. The componentwise
+# forms below express the same math as elementwise chains over [N] column
+# slices, which XLA fuses into neighboring VPU loops with no materialized
+# small-matrix intermediates. Same values, same gradients (plain arithmetic).
+# ----------------------------------------------------------------------------
+
+def quat_to_rotmat_cols(q: jnp.ndarray, normalize_quat: bool = True) -> tuple:
+    """Quaternion (w,x,y,z) [N,4] -> 9 rotation components, each [N].
+
+    Row-major order (r00..r22) — identical math to quat_to_rotmat."""
+    if normalize_quat:
+        q = normalize(q)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return (
+        1.0 - 2.0 * (y * y + z * z),
+        2.0 * (x * y - w * z),
+        2.0 * (x * z + w * y),
+        2.0 * (x * y + w * z),
+        1.0 - 2.0 * (x * x + z * z),
+        2.0 * (y * z - w * x),
+        2.0 * (x * z - w * y),
+        2.0 * (y * z + w * x),
+        1.0 - 2.0 * (x * x + y * y),
+    )
+
+
+def mat_cols(m: jnp.ndarray) -> tuple:
+    """[N, 3, 3] -> 9 row-major component slices (each [N])."""
+    return tuple(m[..., i, j] for i in range(3) for j in range(3))
+
+
+def rot_apply(m: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """einsum('nij,nj->ni') without the batched dot_general: y = M v."""
+    m00, m01, m02, m10, m11, m12, m20, m21, m22 = mat_cols(m)
+    v0, v1, v2 = v[..., 0], v[..., 1], v[..., 2]
+    return jnp.stack(
+        [
+            m00 * v0 + m01 * v1 + m02 * v2,
+            m10 * v0 + m11 * v1 + m12 * v2,
+            m20 * v0 + m21 * v1 + m22 * v2,
+        ],
+        axis=-1,
+    )
+
+
+def covariance6_from_scaling_rotation(
+    scaling: jnp.ndarray,
+    quat: jnp.ndarray,
+    scaling_modifier: float = 1.0,
+    transform: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Componentwise Sigma = (R S)(R S)^T (optionally T Sigma T^T) -> [N, 6].
+
+    Same math as covariance_from_scaling_rotation + strip_symmetric with no
+    [N,3,3] intermediates. 6-vector order: (xx, xy, xz, yy, yz, zz)."""
+    r00, r01, r02, r10, r11, r12, r20, r21, r22 = quat_to_rotmat_cols(quat)
+    s0 = scaling_modifier * scaling[..., 0]
+    s1 = scaling_modifier * scaling[..., 1]
+    s2 = scaling_modifier * scaling[..., 2]
+    # M = R diag(s); Sigma_ij = sum_k s_k^2 R_ik R_jk
+    a, b, c = s0 * s0, s1 * s1, s2 * s2
+    xx = a * r00 * r00 + b * r01 * r01 + c * r02 * r02
+    xy = a * r00 * r10 + b * r01 * r11 + c * r02 * r12
+    xz = a * r00 * r20 + b * r01 * r21 + c * r02 * r22
+    yy = a * r10 * r10 + b * r11 * r11 + c * r12 * r12
+    yz = a * r10 * r20 + b * r11 * r21 + c * r12 * r22
+    zz = a * r20 * r20 + b * r21 * r21 + c * r22 * r22
+    if transform is not None:
+        t00, t01, t02, t10, t11, t12, t20, t21, t22 = mat_cols(transform)
+        # A = T Sigma (rows of T times symmetric Sigma), then C = A T^T
+        a00 = t00 * xx + t01 * xy + t02 * xz
+        a01 = t00 * xy + t01 * yy + t02 * yz
+        a02 = t00 * xz + t01 * yz + t02 * zz
+        a10 = t10 * xx + t11 * xy + t12 * xz
+        a11 = t10 * xy + t11 * yy + t12 * yz
+        a12 = t10 * xz + t11 * yz + t12 * zz
+        a20 = t20 * xx + t21 * xy + t22 * xz
+        a21 = t20 * xy + t21 * yy + t22 * yz
+        a22 = t20 * xz + t21 * yz + t22 * zz
+        xx = a00 * t00 + a01 * t01 + a02 * t02
+        xy = a00 * t10 + a01 * t11 + a02 * t12
+        xz = a00 * t20 + a01 * t21 + a02 * t22
+        yy = a10 * t10 + a11 * t11 + a12 * t12
+        yz = a10 * t20 + a11 * t21 + a12 * t22
+        zz = a20 * t20 + a21 * t21 + a22 * t22
+    return jnp.stack([xx, xy, xz, yy, yz, zz], axis=-1)
+
+
 def inv3x3(m: jnp.ndarray) -> jnp.ndarray:
     """Closed-form (adjugate) batched 3x3 inverse.
 

@@ -249,3 +249,56 @@ def test_alive_mask_excludes_padded_slots():
                       jnp.asarray(cam.full_proj), jnp.zeros(3), **kw)
     assert not np.allclose(np.asarray(full.image), np.asarray(half.image))
     np.testing.assert_allclose(half.image, only4.image, atol=1e-6)
+
+
+def test_instance_capacity_compaction_parity():
+    """A generous instance_capacity I must reproduce the exact N*S render;
+    an undersized I reports overflow_inst (counted, never silent)."""
+    cam, pts, scales, quats, opac, feat = make_scene(n=40, width=64, height=48)
+    cov6 = compute_cov3d(jnp.asarray(scales), jnp.asarray(quats))
+    kwargs = dict(
+        w2c=jnp.asarray(cam.w2c), full_proj=jnp.asarray(cam.full_proj),
+        bg=jnp.zeros(3), width=64, height=48,
+        tan_fovx=float(cam.tan_fovx), tan_fovy=float(cam.tan_fovy),
+    )
+    base = rasterize(
+        jnp.asarray(pts), cov6, jnp.asarray(opac), jnp.asarray(feat),
+        config=RasterizerConfig(), **kwargs,
+    )
+    compact = rasterize(
+        jnp.asarray(pts), cov6, jnp.asarray(opac), jnp.asarray(feat),
+        config=RasterizerConfig(instance_capacity=256), **kwargs,
+    )
+    assert int(compact.overflow_inst) == 0
+    np.testing.assert_allclose(np.asarray(compact.image),
+                               np.asarray(base.image), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(compact.final_t),
+                               np.asarray(base.final_t), atol=1e-6)
+
+    tiny = rasterize(
+        jnp.asarray(pts), cov6, jnp.asarray(opac), jnp.asarray(feat),
+        config=RasterizerConfig(instance_capacity=8), **kwargs,
+    )
+    assert int(tiny.overflow_inst) > 0
+
+
+def test_instance_capacity_gradients_match():
+    """Compacted path must carry identical gradients (Pallas-off jnp path)."""
+    cam, pts, scales, quats, opac, feat = make_scene(n=24, width=48, height=32)
+    cov6 = compute_cov3d(jnp.asarray(scales), jnp.asarray(quats))
+    kwargs = dict(
+        w2c=jnp.asarray(cam.w2c), full_proj=jnp.asarray(cam.full_proj),
+        bg=jnp.zeros(3), width=48, height=32,
+        tan_fovx=float(cam.tan_fovx), tan_fovy=float(cam.tan_fovy),
+    )
+
+    def loss(op, cfg):
+        out = rasterize(jnp.asarray(pts), cov6, op, jnp.asarray(feat),
+                        config=cfg, **kwargs)
+        return jnp.sum(out.image ** 2)
+
+    g_base = jax.grad(loss)(jnp.asarray(opac), RasterizerConfig())
+    g_comp = jax.grad(loss)(
+        jnp.asarray(opac), RasterizerConfig(instance_capacity=192))
+    np.testing.assert_allclose(np.asarray(g_comp), np.asarray(g_base),
+                               rtol=1e-5, atol=1e-7)
