@@ -100,10 +100,13 @@ def bake_occlusion(
     config: RasterizerConfig = RasterizerConfig(
         tile_capacity=256, chunk_tiles=4, max_tiles_per_gaussian=4
     ),
-) -> jnp.ndarray:
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-Gaussian [cap, H, W, 1] visibility (1 - occluder opacity), masked
-    by the normal hemisphere. Run under stop_gradient by callers (the
-    reference bakes under no_grad, baking.py:230)."""
+    by the normal hemisphere, plus an `out_of_budget` count: alive Gaussians
+    whose voxel fell beyond the max_cells budget and therefore got full
+    visibility 1.0 (counted, never silent — callers log it). Run under
+    stop_gradient by callers (the reference bakes under no_grad,
+    baking.py:230)."""
     cap = means3d.shape[0]
     grid = pc_to_grid(means3d, alive, grid_res)
 
@@ -173,10 +176,12 @@ def bake_occlusion(
         visibility[jnp.clip(gauss_rank, 0, max_cells - 1)],
         1.0,
     )
+    out_of_budget = jnp.sum(alive & ~in_budget).astype(jnp.int32)
     dot_mask = (
         jnp.einsum("hwc,nc->nhw", env_dirs, world_normals)[..., None] > 0
     )
-    return jnp.where(dot_mask, vis, 0.0) * alive[:, None, None, None]
+    vis = jnp.where(dot_mask, vis, 0.0) * alive[:, None, None, None]
+    return vis, out_of_budget
 
 
 def occlusion_color(

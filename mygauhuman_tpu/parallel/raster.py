@@ -50,6 +50,142 @@ def mesh_shard_count(mesh: Mesh, axis_names: tuple) -> int:
     return int(math.prod(mesh.shape[a] for a in axis_names))
 
 
+def raster_strip_core(
+    means3d, cov3d6, opacities, features, m2d_off, alive, w2c, full_proj,
+    *,
+    axis_names: tuple,
+    n_shards: int | None = None,
+    width: int,
+    height: int,
+    tan_fovx: float,
+    tan_fovy: float,
+    config: RasterizerConfig,
+    exchange_capacity: int,
+):
+    """Per-shard raster pipeline — call INSIDE a shard_map whose mesh has
+    `axis_names`. Local inputs are this shard's capacity slice; returns
+    (tiles_out [T_strip, c_stage, P], radii, means2d, visible, counters)
+    where tiles_out is this shard's strip of the global tile grid. See the
+    module docstring for the four stages."""
+    if n_shards is None:
+        n_shards = int(math.prod(
+            jax.lax.axis_size(a) for a in axis_names  # type: ignore[attr-defined]
+        ))
+    n_local = means3d.shape[0]
+    tile_w, tile_h = config.tile_w, config.tile_h
+    tw, th = tile_dims(width, height, tile_w, tile_h)
+    T = tw * th
+    T_strip = -(-T // n_shards)
+    S = config.max_tiles_per_gaussian
+    K = config.tile_capacity
+    I_ex = min(exchange_capacity, n_local * S)
+    chunk = 2 * LANE
+    strip_lo = [min(s * T_strip, T) for s in range(n_shards + 1)]
+
+    shard = jax.lax.axis_index(axis_names)
+
+    # ---- stage 1: local geometry (no communication)
+    proj = preprocess(
+        means3d, cov3d6, w2c, full_proj, width, height,
+        tan_fovx, tan_fovy,
+    )
+    means2d = proj.means2d + m2d_off
+    visible = proj.visible & alive
+    bins = bin_gaussians(
+        jax.lax.stop_gradient(means2d),
+        proj.radii,
+        jax.lax.stop_gradient(proj.depths),
+        visible,
+        width=width, height=height, tile_w=tile_w, tile_h=tile_h,
+        max_tiles_per_gaussian=S, tile_capacity=K,
+    )
+
+    # ---- stage 2: bounded per-strip windows of the local sorted list
+    total_live = jnp.searchsorted(
+        bins.sorted_tile, jnp.int32(T), side="left"
+    ).astype(jnp.int32)
+    starts_ext = jnp.concatenate([bins.starts, total_live[None]])
+    lo = starts_ext[jnp.asarray(strip_lo[:-1], jnp.int32)]   # [S_n]
+    hi = starts_ext[jnp.asarray(strip_lo[1:], jnp.int32)]
+    wlen = hi - lo
+    exch_drop = jnp.sum(jnp.maximum(wlen - I_ex, 0)).astype(jnp.int32)
+
+    gid_pad = jnp.concatenate(
+        [bins.sorted_gid, jnp.zeros((I_ex,), jnp.int32)]
+    )
+    tile_pad = jnp.concatenate(
+        [bins.sorted_tile, jnp.full((I_ex,), T, jnp.int32)]
+    )
+
+    def window(arr, st):
+        return jax.lax.dynamic_slice(arr, (st,), (I_ex,))
+
+    gid_w = jax.vmap(window, in_axes=(None, 0))(gid_pad, lo)
+    tile_w_ids = jax.vmap(window, in_axes=(None, 0))(tile_pad, lo)
+    lane = jnp.arange(I_ex, dtype=jnp.int32)[None, :]
+    valid_w = lane < jnp.minimum(wlen, I_ex)[:, None]
+    tile_w_ids = jnp.where(valid_w, tile_w_ids, T)
+
+    # instance payload: attribute columns (differentiable), global gid
+    attrs = attr_matrix(
+        means2d, proj.conics, opacities, proj.depths, features
+    )                                                   # [D, n_local]
+    data_w = attrs[:, gid_w]                            # [D, S_n, I_ex]
+    data_w = jnp.transpose(data_w, (1, 0, 2))           # [S_n, D, I_ex]
+    gid_g = shard * n_local + gid_w                     # global ids
+
+    # ---- stage 3: the exchange (strip s's instances -> its owner)
+    recv_data = jax.lax.all_to_all(
+        data_w, axis_names, split_axis=0, concat_axis=0
+    )
+    recv_tile = jax.lax.all_to_all(
+        tile_w_ids, axis_names, split_axis=0, concat_axis=0
+    )
+    recv_gid = jax.lax.all_to_all(
+        gid_g, axis_names, split_axis=0, concat_axis=0
+    )
+
+    # ---- stage 4: merge-sort received instances, blend own strip
+    E = n_shards * I_ex
+    rdata = jnp.transpose(recv_data, (1, 0, 2)).reshape(-1, E)
+    rtile = recv_tile.reshape(E)
+    rgid = recv_gid.reshape(E)
+    rdepth = jax.lax.stop_gradient(rdata[HDR - 2])      # depth row
+    srt_tile, _, _, perm = jax.lax.sort(
+        (rtile, rdepth, rgid, jnp.arange(E, dtype=jnp.int32)),
+        num_keys=3,
+    )
+    pad = chunk + ((-E) % chunk)
+    perm_pad = jnp.concatenate([perm, jnp.zeros((pad,), jnp.int32)])
+    data_sorted = rdata.at[:, perm_pad].get(mode="promise_in_bounds")
+
+    t0 = shard * T_strip
+    tiles_local = t0 + jnp.arange(T_strip, dtype=jnp.int32)
+    lstarts = jnp.searchsorted(
+        srt_tile, tiles_local, side="left"
+    ).astype(jnp.int32)
+    lends = jnp.searchsorted(
+        srt_tile, tiles_local + 1, side="left"
+    ).astype(jnp.int32)
+    lcounts = jnp.minimum(lends - lstarts, K)
+    strip_overflow = jnp.sum(
+        jnp.maximum(lends - lstarts - K, 0)
+    ).astype(jnp.int32)
+
+    tiles_out = blend_instances(
+        data_sorted, lstarts, lcounts, jnp.full((1,), t0, jnp.int32),
+        T_strip, tw, tile_w, tile_h, config.pallas_interpret,
+    )                                                   # [T_s, c_st, P]
+
+    radii = jnp.where(visible, proj.radii, 0)
+    counters = (
+        jax.lax.psum(bins.overflow_tiles + strip_overflow, axis_names),
+        jax.lax.psum(bins.overflow_gauss, axis_names),
+        jax.lax.psum(exch_drop, axis_names),
+    )
+    return tiles_out, radii, means2d, visible, counters
+
+
 def rasterize_sharded(
     means3d: jnp.ndarray,       # [N, 3] world, sharded over axis_names
     cov3d6: jnp.ndarray,        # [N, 6]
@@ -99,116 +235,19 @@ def rasterize_sharded(
     if alive is None:
         alive = jnp.ones((n,), bool)
 
-    # static strip boundaries in tile space
-    strip_lo = [min(s * T_strip, T) for s in range(n_shards + 1)]
-
     spec_g = P(axis_names)
     repl = P()
 
     def body(means3d, cov3d6, opacities, features, m2d_off, alive,
              w2c, full_proj):
-        shard = jax.lax.axis_index(axis_names)
-
-        # ---- stage 1: local geometry (no communication)
-        proj = preprocess(
-            means3d, cov3d6, w2c, full_proj, width, height,
-            tan_fovx, tan_fovy,
+        return raster_strip_core(
+            means3d, cov3d6, opacities, features, m2d_off, alive,
+            w2c, full_proj,
+            axis_names=axis_names, n_shards=n_shards,
+            width=width, height=height,
+            tan_fovx=tan_fovx, tan_fovy=tan_fovy, config=config,
+            exchange_capacity=I_ex,
         )
-        means2d = proj.means2d + m2d_off
-        visible = proj.visible & alive
-        bins = bin_gaussians(
-            jax.lax.stop_gradient(means2d),
-            proj.radii,
-            jax.lax.stop_gradient(proj.depths),
-            visible,
-            width=width, height=height, tile_w=tile_w, tile_h=tile_h,
-            max_tiles_per_gaussian=S, tile_capacity=K,
-        )
-
-        # ---- stage 2: bounded per-strip windows of the local sorted list
-        total_live = jnp.searchsorted(
-            bins.sorted_tile, jnp.int32(T), side="left"
-        ).astype(jnp.int32)
-        starts_ext = jnp.concatenate([bins.starts, total_live[None]])
-        lo = starts_ext[jnp.asarray(strip_lo[:-1], jnp.int32)]   # [S_n]
-        hi = starts_ext[jnp.asarray(strip_lo[1:], jnp.int32)]
-        wlen = hi - lo
-        exch_drop = jnp.sum(jnp.maximum(wlen - I_ex, 0)).astype(jnp.int32)
-
-        gid_pad = jnp.concatenate(
-            [bins.sorted_gid, jnp.zeros((I_ex,), jnp.int32)]
-        )
-        tile_pad = jnp.concatenate(
-            [bins.sorted_tile, jnp.full((I_ex,), T, jnp.int32)]
-        )
-
-        def window(arr, st):
-            return jax.lax.dynamic_slice(arr, (st,), (I_ex,))
-
-        gid_w = jax.vmap(window, in_axes=(None, 0))(gid_pad, lo)
-        tile_w_ids = jax.vmap(window, in_axes=(None, 0))(tile_pad, lo)
-        lane = jnp.arange(I_ex, dtype=jnp.int32)[None, :]
-        valid_w = lane < jnp.minimum(wlen, I_ex)[:, None]
-        tile_w_ids = jnp.where(valid_w, tile_w_ids, T)
-
-        # instance payload: attribute columns (differentiable), global gid
-        attrs = attr_matrix(
-            means2d, proj.conics, opacities, proj.depths, features
-        )                                                   # [D, n_local]
-        data_w = attrs[:, gid_w]                            # [D, S_n, I_ex]
-        data_w = jnp.transpose(data_w, (1, 0, 2))           # [S_n, D, I_ex]
-        gid_g = shard * n_local + gid_w                     # global ids
-
-        # ---- stage 3: the exchange (strip s's instances -> its owner)
-        recv_data = jax.lax.all_to_all(
-            data_w, axis_names, split_axis=0, concat_axis=0
-        )
-        recv_tile = jax.lax.all_to_all(
-            tile_w_ids, axis_names, split_axis=0, concat_axis=0
-        )
-        recv_gid = jax.lax.all_to_all(
-            gid_g, axis_names, split_axis=0, concat_axis=0
-        )
-
-        # ---- stage 4: merge-sort received instances, blend own strip
-        E = n_shards * I_ex
-        rdata = jnp.transpose(recv_data, (1, 0, 2)).reshape(-1, E)
-        rtile = recv_tile.reshape(E)
-        rgid = recv_gid.reshape(E)
-        rdepth = jax.lax.stop_gradient(rdata[HDR - 2])      # depth row
-        srt_tile, _, _, perm = jax.lax.sort(
-            (rtile, rdepth, rgid, jnp.arange(E, dtype=jnp.int32)),
-            num_keys=3,
-        )
-        pad = chunk + ((-E) % chunk)
-        perm_pad = jnp.concatenate([perm, jnp.zeros((pad,), jnp.int32)])
-        data_sorted = rdata.at[:, perm_pad].get(mode="promise_in_bounds")
-
-        t0 = shard * T_strip
-        tiles_local = t0 + jnp.arange(T_strip, dtype=jnp.int32)
-        lstarts = jnp.searchsorted(
-            srt_tile, tiles_local, side="left"
-        ).astype(jnp.int32)
-        lends = jnp.searchsorted(
-            srt_tile, tiles_local + 1, side="left"
-        ).astype(jnp.int32)
-        lcounts = jnp.minimum(lends - lstarts, K)
-        strip_overflow = jnp.sum(
-            jnp.maximum(lends - lstarts - K, 0)
-        ).astype(jnp.int32)
-
-        tiles_out = blend_instances(
-            data_sorted, lstarts, lcounts, jnp.full((1,), t0, jnp.int32),
-            T_strip, tw, tile_w, tile_h, config.pallas_interpret,
-        )                                                   # [T_s, c_st, P]
-
-        radii = jnp.where(visible, proj.radii, 0)
-        counters = (
-            jax.lax.psum(bins.overflow_tiles + strip_overflow, axis_names),
-            jax.lax.psum(bins.overflow_gauss, axis_names),
-            jax.lax.psum(exch_drop, axis_names),
-        )
-        return tiles_out, radii, means2d, visible, counters
 
     out_specs = (
         P(axis_names),   # tiles_out strips concat over the combined axis
@@ -245,3 +284,54 @@ def rasterize_sharded(
         overflow_gauss=ov_gauss,
         overflow_inst=ov_inst,
     )
+
+
+def make_strip_raster_fn(
+    axis_names: tuple,
+    n_shards: int,
+    exchange_capacity: int,
+):
+    """A `rasterize`-compatible raster_fn for use INSIDE a shard_map body
+    (render_frame(..., raster_fn=make_strip_raster_fn(...))): runs the
+    per-shard strip pipeline, then all_gathers the strips so every shard
+    holds the full image (the loss is computed replicated; its AD transpose
+    reduce-scatters image cotangents back to the owning strips)."""
+
+    def fn(
+        means3d, cov3d6, opacities, features, w2c, full_proj, bg, *,
+        width, height, tan_fovx, tan_fovy,
+        config=RasterizerConfig(), means2d_offset=None, alive=None,
+    ):
+        n_local = means3d.shape[0]
+        if means2d_offset is None:
+            means2d_offset = jnp.zeros((n_local, 2), jnp.float32)
+        if alive is None:
+            alive = jnp.ones((n_local,), bool)
+        tiles_out, radii, means2d, visible, counters = raster_strip_core(
+            means3d, cov3d6, opacities, features, means2d_offset, alive,
+            w2c, full_proj,
+            axis_names=axis_names, n_shards=n_shards,
+            width=width, height=height,
+            tan_fovx=tan_fovx, tan_fovy=tan_fovy, config=config,
+            exchange_capacity=exchange_capacity,
+        )
+        gathered = jax.lax.all_gather(
+            tiles_out, axis_names, axis=0, tiled=True
+        )                                            # [T_pad, c_stage, P]
+        tw, th = tile_dims(width, height, config.tile_w, config.tile_h)
+        n_feat = -(-features.shape[-1] // 8) * 8
+        image, alpha, depth, final_t = finish_tiles(
+            gathered[:tw * th], bg,
+            n_channels=features.shape[-1], n_feat=n_feat,
+            width=width, height=height,
+            tile_w=config.tile_w, tile_h=config.tile_h,
+        )
+        ov_tiles, ov_gauss, ov_inst = counters
+        return RasterizeOutput(
+            image=image, alpha=alpha, depth=depth, final_t=final_t,
+            radii=radii, means2d=means2d, visible=visible,
+            overflow_tiles=ov_tiles, overflow_gauss=ov_gauss,
+            overflow_inst=ov_inst,
+        )
+
+    return fn

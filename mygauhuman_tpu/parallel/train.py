@@ -133,3 +133,209 @@ def make_batched_train_step(
 def stack_batches(batches: list[TrainBatch]) -> TrainBatch:
     """Stack single-view TrainBatches into one batched TrainBatch."""
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
+
+
+# ----------------------------------------------------------------------------
+# Fully-SPMD train step over the ("data", "gauss", "tiles") mesh.
+#
+# Unlike make_batched_train_step (GSPMD annotations; XLA chooses the
+# collectives and in practice replicates the blend), this is the explicit
+# shard_map program: the rasterizer's tile-strip exchange (parallel/raster.py)
+# runs the Pallas kernel per strip, views shard over "data", per-Gaussian
+# state shards over ("gauss", "tiles"), and the gradient collectives are
+# placed by the AD transposes of all_to_all / all_gather plus explicit psums.
+# ----------------------------------------------------------------------------
+
+
+def make_tile_sharded_train_step(
+    smpl_model: SMPLModel,
+    tx: optax.GradientTransformation,
+    cfg: OptimizationConfig,
+    raster_config: RasterizerConfig,
+    bg: jnp.ndarray,
+    mesh,
+    raster_axes: tuple = ("gauss", "tiles"),
+    data_axis: str = "data",
+    exchange_capacity: int = 4096,
+):
+    """Returns step(ts, batch, active_sh_degree) where every per-Gaussian
+    leaf of `ts` is sharded over raster_axes and every batch leaf over
+    data_axis. Losses/gradients match the single-device step (fp tolerance):
+    the replicated loss is scaled by 1/n_shards before AD (each shard
+    carries its own loss copy through the all_gather transpose), replicated
+    MLP grads are psum'd over every axis, and densify statistics psum over
+    the data axis only (per-Gaussian stats live on the owning shard)."""
+    import functools
+
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from mygauhuman_tpu.parallel.raster import (
+        make_strip_raster_fn,
+        mesh_shard_count,
+    )
+    from mygauhuman_tpu.train.trainer import compute_losses_a
+
+    n_shards = mesh_shard_count(mesh, raster_axes)
+    all_axes = (data_axis,) + tuple(raster_axes)
+    raster_fn = make_strip_raster_fn(raster_axes, n_shards,
+                                     exchange_capacity)
+
+    def body(ts: TrainState, batch: TrainBatch, active_sh_degree: int):
+        cap_local = ts.gauss.capacity          # local capacity slice
+        B_local = batch.gt_image.shape[0]
+        gauss_aux = {
+            "alive": ts.gauss.alive,
+            "smpl_normal": ts.gauss.smpl_normal,
+            "xyz_grad_accum": ts.gauss.xyz_grad_accum,
+            "denom": ts.gauss.denom,
+            "max_radii2d": ts.gauss.max_radii2d,
+        }
+
+        def one_view(params, view, m2d_off):
+            gstate = G.GaussianState(
+                params=params.gaussians,
+                alive=gauss_aux["alive"],
+                smpl_normal=gauss_aux["smpl_normal"],
+                xyz_grad_accum=gauss_aux["xyz_grad_accum"],
+                denom=gauss_aux["denom"],
+                max_radii2d=gauss_aux["max_radii2d"],
+            )
+            out = render_frame(
+                gstate, view.camera, view.frame, smpl_model,
+                bg=bg, active_sh_degree=active_sh_degree,
+                mlp_params={"pose_refiner": params.pose_refiner,
+                            "lbs_offset": params.lbs_offset},
+                config=raster_config, means2d_offset=m2d_off,
+                raster_fn=raster_fn,
+            )
+            alive_f = gauss_aux["alive"].astype(jnp.float32)
+            # global mean over ALL alive Gaussians (psum over the shards)
+            s_sum = jax.lax.psum(
+                jnp.sum(G.get_scaling(params.gaussians) * alive_f[:, None]),
+                raster_axes,
+            )
+            s_cnt = jax.lax.psum(jnp.sum(alive_f) * 3, raster_axes)
+            scaling_mean = s_sum / jnp.maximum(s_cnt, 1.0)
+            total, metrics = compute_losses_a(out, view, scaling_mean)
+            return total, metrics, out.radii
+
+        def loss_fn(params, m2d_offs):
+            totals, radiis, metrics = [], [], None
+            for i in range(B_local):        # static local-view loop
+                view = jax.tree_util.tree_map(lambda x: x[i], batch)
+                t, m, r = one_view(params, view, m2d_offs[i])
+                totals.append(t)
+                radiis.append(r)
+                metrics = m
+            local_mean = jnp.mean(jnp.asarray(totals))
+            loss = jax.lax.pmean(local_mean, data_axis)
+            # each raster shard carries its own replicated copy of the loss
+            # through the all_gather; AD sums the copies — pre-scale.
+            return loss / n_shards, (metrics, jnp.stack(radiis), loss)
+
+        params = trainable_params(ts)
+        zeros2d = jnp.zeros((B_local, cap_local, 2), jnp.float32)
+        (_, (metrics, radii, loss)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, zeros2d)
+        gparams, gm2d = grads
+
+        # replicated leaves need the cross-shard sum of their path grads;
+        # sharded (capacity-leading) leaves already own their full grad.
+        gparams = TrainableParams(
+            gaussians=jax.tree_util.tree_map(
+                lambda g: jax.lax.psum(g, data_axis), gparams.gaussians
+            ),
+            pose_refiner=jax.tree_util.tree_map(
+                lambda g: jax.lax.psum(g, all_axes), gparams.pose_refiner
+            ),
+            lbs_offset=jax.tree_util.tree_map(
+                lambda g: jax.lax.psum(g, all_axes), gparams.lbs_offset
+            ),
+        )
+
+        frozen = ts.step >= cfg.pbr_iteration
+        mask = geometry_freeze_mask(gparams, frozen)
+        gparams = jax.tree_util.tree_map(lambda g, m: g * m, gparams, mask)
+
+        updates, opt_state = tx.update(gparams, ts.opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+
+        # densify stats (per-view magnitudes recovered from the mean loss;
+        # n_shards undoes the pre-scaling, B_total undoes the view mean)
+        B_total = B_local * mesh.shape[data_axis]
+        scale = densify_grad_scale(batch.camera.width, batch.camera.height)
+        per_view = jnp.linalg.norm(
+            gm2d * scale[None, None, :] * (n_shards * B_total), axis=-1
+        )
+        visible = radii > 0
+        stats_add = jax.lax.psum(
+            jnp.sum(jnp.where(visible, per_view, 0.0), axis=0), data_axis
+        )
+        denom_add = jax.lax.psum(
+            jnp.sum(visible.astype(jnp.float32), axis=0), data_axis
+        )
+        max_r = jax.lax.pmax(
+            jnp.max(jnp.where(visible, radii, 0), axis=0).astype(jnp.float32),
+            data_axis,
+        )
+        gauss = ts.gauss._replace(params=new_params.gaussians)
+        gauss = gauss._replace(
+            xyz_grad_accum=gauss.xyz_grad_accum + stats_add,
+            denom=gauss.denom + denom_add,
+            max_radii2d=jnp.maximum(gauss.max_radii2d, max_r),
+        )
+
+        new_ts = TrainState(
+            gauss=gauss,
+            pose_refiner=new_params.pose_refiner,
+            lbs_offset=new_params.lbs_offset,
+            opt_state=opt_state,
+            step=ts.step + 1,
+        )
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        metrics = jax.tree_util.tree_map(
+            lambda m: jax.lax.pmean(jnp.asarray(m, jnp.float32), data_axis),
+            metrics,
+        )
+        return new_ts, metrics
+
+    spec_g = P(raster_axes)
+    spec_d = P(data_axis)
+    repl = P()
+
+    def ts_specs(ts: TrainState):
+        cap = ts.gauss.capacity
+
+        def spec(leaf):
+            if (hasattr(leaf, "shape") and leaf.ndim >= 1
+                    and leaf.shape[0] == cap):
+                return spec_g
+            return repl
+
+        return jax.tree_util.tree_map(spec, ts)
+
+    def batch_specs(batch: TrainBatch):
+        def spec(leaf):
+            if hasattr(leaf, "shape") and leaf.ndim >= 1:
+                return spec_d
+            return repl
+
+        return jax.tree_util.tree_map(spec, batch)
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def step(ts: TrainState, batch: TrainBatch, active_sh_degree: int):
+        tspec = ts_specs(ts)
+        sharded = shard_map(
+            lambda t, b: body(t, b, active_sh_degree),
+            mesh=mesh,
+            in_specs=(tspec, batch_specs(batch)),
+            out_specs=(tspec, repl),
+            check_rep=False,
+        )
+        return sharded(ts, batch)
+
+    return step

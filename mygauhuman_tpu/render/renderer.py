@@ -113,6 +113,8 @@ def render_frame(
     transforms: jnp.ndarray | None = None,        # eval replay (render.py:169-195)
     translation: jnp.ndarray | None = None,
     scaling_modifier: float = 1.0,
+    raster_fn=None,    # rasterize-compatible; parallel/raster.py injects the
+                       # tile-sharded strip pipeline here inside shard_map
 ) -> RenderResult:
     """Render one camera view of the articulated Gaussian human."""
     p: GaussianParams = state.params
@@ -191,7 +193,9 @@ def render_frame(
     features = jnp.where(state.alive[:, None], features, 0.0)
 
     cov6 = get_covariance6(p, scaling_modifier, transforms)
-    out = rasterize(
+    if raster_fn is None:
+        raster_fn = rasterize
+    out = raster_fn(
         means3d,
         cov6,
         opacity,

@@ -99,9 +99,10 @@ def compute_losses_pbr(
     view_dirs: jnp.ndarray,
     brdf_lut: jnp.ndarray,
     lpips_fn: Callable | None = None,
+    prefilter_w: dict | None = None,
 ):
     """Branch-B total loss. Weights parity: train.py:316-363."""
-    light = build_mips(light_params)
+    light = build_mips(light_params, prefilter_w)
     alpha = out.render_alpha[..., None]
     world_normal = jax.lax.stop_gradient(out.world_normal * 2.0 - 1.0)
     roughness_img = out.roughness[..., None] * (R_MAX - R_MIN) + R_MIN
@@ -187,13 +188,14 @@ def make_pbr_train_step(
     as update_learning_rate freezes them (gaussian_model.py:289-307)."""
     brdf_lut = get_brdf_lut()
 
-    @functools.partial(jax.jit, static_argnums=(5,))
+    @functools.partial(jax.jit, static_argnums=(6,))
     def step(
         ts: TrainState,
         pbr_state: PbrState,
         batch: TrainBatch,
         knn3: jnp.ndarray,
         occlusion_color: jnp.ndarray,    # [cap, 3] baked (or opacity fallback)
+        prefilter_w: dict,               # constant prefilter weight matrices
         active_sh_degree: int,
     ):
         view_dirs = canonical_view_dirs(batch.camera)
@@ -212,6 +214,7 @@ def make_pbr_train_step(
             total, metrics = compute_losses_pbr(
                 out, batch, light_vol["light"], params.gaussians,
                 ts.gauss.alive, knn3, view_dirs, brdf_lut, lpips_fn,
+                prefilter_w,
             )
             return total, metrics
 
@@ -297,7 +300,13 @@ def train_loop_pbr(
     from mygauhuman_tpu.pbr.light import export_envmap
     from mygauhuman_tpu.render import render_frame
 
+    from mygauhuman_tpu.pbr.light import prefilter_weight_set
+
     host_rng = np.random.RandomState(seed + 7)
+    # constant GGX/cosine prefilter matrices, computed ONCE (not per step)
+    prefilter_w = jax.tree_util.tree_map(
+        jnp.asarray, prefilter_weight_set(pbr_state.light["base"].shape[1])
+    )
     knn3 = compute_knn3(ts.gauss)
     occ_cache: dict = {}
     stack: list = []
@@ -318,20 +327,23 @@ def train_loop_pbr(
                 mlp_params={"pose_refiner": ts.pose_refiner,
                             "lbs_offset": ts.lbs_offset},
             )
+            from mygauhuman_tpu.utils.transforms import rot_apply
+
             cov6 = G.get_covariance6(ts.gauss.params, 1.0, out.transforms)
-            means_posed = jnp.einsum(
-                "nij,nj->ni", out.transforms, ts.gauss.params.xyz
+            means_posed = rot_apply(
+                out.transforms, ts.gauss.params.xyz
             ) + out.translation
-            world_nrm = jnp.einsum(
-                "nij,nj->ni", out.transforms, ts.gauss.params.normal
-            )
-            occ_cache[bi] = jax.lax.stop_gradient(bake_occlusion(
+            world_nrm = rot_apply(out.transforms, ts.gauss.params.normal)
+            occ, bake_oob = jax.lax.stop_gradient(bake_occlusion(
                 means_posed, cov6,
                 G.get_opacity(ts.gauss.params)[:, 0],
                 world_nrm,
                 ts.gauss.alive,
                 height=bake_height, width=bake_width,
             ))
+            occ_cache[bi] = occ
+            # bake-budget truncation: counted, never silent (VERDICT r1 #4)
+            metrics["bake_out_of_budget"] = int(bake_oob)
 
         env = export_envmap(pbr_state.light, bake_height, bake_width)
         env_gray = jnp.mean(env, axis=-1, keepdims=True)
@@ -339,7 +351,7 @@ def train_loop_pbr(
 
         deg = min(it // 1000, max_sh_degree)
         ts, pbr_state, metrics = step_fn(
-            ts, pbr_state, batch, knn3, occ_col, deg
+            ts, pbr_state, batch, knn3, occ_col, prefilter_w, deg
         )
         if callback is not None:
             callback(it, ts, pbr_state, metrics)

@@ -157,13 +157,23 @@ class TestBake:
         nrm = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (2 * n, 3))
         alive = jnp.ones((2 * n,), bool)
 
-        occ = BK.bake_occlusion(
+        occ, oob = BK.bake_occlusion(
             pts, cov6, opac, nrm, alive,
             height=16, width=32, grid_res=4, max_cells=32, face_res=16,
             config=RasterizerConfig(tile_capacity=128, chunk_tiles=1,
                                     max_tiles_per_gaussian=4),
         )
+        assert int(oob) == 0
         assert occ.shape == (2 * n, 16, 32, 1)
+
+        # starve the cell budget: out-of-budget gaussians must be COUNTED
+        _, oob2 = BK.bake_occlusion(
+            pts, cov6, opac, nrm, alive,
+            height=16, width=32, grid_res=4, max_cells=1, face_res=16,
+            config=RasterizerConfig(tile_capacity=128, chunk_tiles=1,
+                                    max_tiles_per_gaussian=4),
+        )
+        assert int(oob2) > 0
         assert bool(jnp.all(jnp.isfinite(occ)))
         # up direction (latlong row 0 = theta 0 = +y): cluster A sees the
         # occluder -> near-zero visibility; the top of cluster B sees sky

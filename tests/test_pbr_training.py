@@ -10,6 +10,7 @@ import pytest
 from mygauhuman_tpu.config import OptimizationConfig
 from mygauhuman_tpu.data.synthetic import make_synthetic_scene
 from mygauhuman_tpu.models.mlps import init_lbs_offset, init_pose_refiner
+from mygauhuman_tpu.pbr.light import prefilter_weight_set
 from mygauhuman_tpu.train.pbr import (
     canonical_view_dirs,
     compute_knn3,
@@ -36,7 +37,8 @@ def setup():
     )
     knn3 = compute_knn3(ts.gauss)
     occ = jnp.ones((ts.gauss.capacity, 3))
-    return scene, cfg, ts, pbr_state, step_fn, knn3, occ
+    pw = prefilter_weight_set(pbr_state.light["base"].shape[1])
+    return scene, cfg, ts, pbr_state, step_fn, knn3, occ, pw
 
 
 class TestViewDirs:
@@ -56,15 +58,15 @@ class TestViewDirs:
 
 class TestPbrStep:
     def test_runs_and_finite(self, setup):
-        scene, cfg, ts, pbr_state, step_fn, knn3, occ = setup
-        ts2, pbr2, m = step_fn(ts, pbr_state, scene.batches[0], knn3, occ, 0)
+        scene, cfg, ts, pbr_state, step_fn, knn3, occ, pw = setup
+        ts2, pbr2, m = step_fn(ts, pbr_state, scene.batches[0], knn3, occ, pw, 0)
         for k2, v in m.items():
             assert np.isfinite(float(v)), k2
         assert int(ts2.step) == 1
 
     def test_geometry_frozen_materials_live(self, setup):
-        scene, cfg, ts, pbr_state, step_fn, knn3, occ = setup
-        ts2, pbr2, _ = step_fn(ts, pbr_state, scene.batches[0], knn3, occ, 0)
+        scene, cfg, ts, pbr_state, step_fn, knn3, occ, pw = setup
+        ts2, pbr2, _ = step_fn(ts, pbr_state, scene.batches[0], knn3, occ, pw, 0)
         np.testing.assert_array_equal(np.asarray(ts2.gauss.params.xyz),
                                       np.asarray(ts.gauss.params.xyz))
         np.testing.assert_array_equal(np.asarray(ts2.gauss.params.opacity),
@@ -75,19 +77,19 @@ class TestPbrStep:
                                   np.asarray(pbr_state.light["base"]))
 
     def test_light_stays_nonnegative(self, setup):
-        scene, cfg, ts, pbr_state, step_fn, knn3, occ = setup
+        scene, cfg, ts, pbr_state, step_fn, knn3, occ, pw = setup
         for _ in range(3):
             ts, pbr_state, _ = step_fn(ts, pbr_state, scene.batches[0],
-                                       knn3, occ, 0)
+                                       knn3, occ, pw, 0)
         assert float(jnp.min(pbr_state.light["base"])) >= 0.0
 
     def test_loss_decreases(self, setup):
-        scene, cfg, ts, pbr_state, step_fn, knn3, occ = setup
+        scene, cfg, ts, pbr_state, step_fn, knn3, occ, pw = setup
         first = None
         m = {}
         for it in range(25):
             ts, pbr_state, m = step_fn(
-                ts, pbr_state, scene.batches[it % 2], knn3, occ, 0
+                ts, pbr_state, scene.batches[it % 2], knn3, occ, pw, 0
             )
             if first is None:
                 first = float(m["loss"])
