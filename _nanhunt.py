@@ -38,10 +38,10 @@ for it in range(1, 1201):
         break
     if cfg.densify_from_iter <= it < cfg.densify_until_iter and it % cfg.densification_interval == 0:
         key, sub = jax.random.split(key)
-        ts = densify_event(ts, sub, cfg, scene.extent, scene.big_pose_verts, it)
+        ts, _dinfo = densify_event(ts, sub, cfg, scene.extent, scene.big_pose_verts, it)
     if it % cfg.opacity_reset_interval == 0:
         ts = ts._replace(gauss=G.reset_opacity(ts.gauss), opt_state=reset_opacity_moments(ts.opt_state))
     if it % 100 == 0:
-        print(it, round(loss, 4), round(float(m["psnr"]),2), int(ts.gauss.num_alive), flush=True)
+        print(it, round(float(m["loss"]), 4), round(float(m["psnr"]), 2), int(ts.gauss.num_alive), flush=True)
 else:
     print("completed without NaN", flush=True)

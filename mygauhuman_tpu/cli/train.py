@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic", action="store_true",
                    help="train on the built-in synthetic scene (no dataset)")
     p.add_argument("--synthetic_size", type=int, default=128)
+    p.add_argument("--synthetic_verts", type=int, default=400,
+                   help="synthetic-scene Gaussian count (6890 = the ZJU "
+                        "SMPL-vertex-cloud scale)")
+    p.add_argument("--synthetic_views", type=int, default=4)
     p.add_argument("--use_pallas", action="store_true", default=None)
     return p
 
@@ -100,10 +104,15 @@ def main(argv=None) -> dict:
     if args.synthetic:
         from mygauhuman_tpu.data.synthetic import make_synthetic_scene
 
+        cap = 1024
+        while cap < 2 * args.synthetic_verts:
+            cap *= 2
         scene = make_synthetic_scene(
-            n_views=4, width=args.synthetic_size, height=args.synthetic_size,
-            n_verts=400, capacity=1024,
-            raster_config=RasterizerConfig(use_pallas=use_pallas),
+            n_views=args.synthetic_views,
+            width=args.synthetic_size, height=args.synthetic_size,
+            n_verts=args.synthetic_verts, capacity=cap,
+            raster_config=RasterizerConfig(use_pallas=use_pallas,
+                                           instance_capacity=8 * cap),
         )
         smpl_model = scene.smpl_model
         train_batches = scene.batches

@@ -22,6 +22,58 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host bring-up (SURVEY §5.8): one jax.distributed.initialize
+    per process; afterwards jax.devices() spans every host and the meshes
+    below place the "data" axis across hosts (DCN) and the model axes
+    within a host's ICI domain. No-ops on a single process with no
+    coordinator (the single-host path needs no init).
+    """
+    if coordinator_address is None and num_processes in (None, 1):
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def make_hybrid_mesh(
+    axis_names: tuple = ("data", "gauss", "tiles"),
+    per_host_shape: tuple | None = None,
+) -> Mesh:
+    """DCN-aware mesh: "data" (frame parallelism — the only axis whose
+    collectives are a once-per-step gradient psum) spans hosts over DCN;
+    the raster axes ("gauss", "tiles" — all_to_all instance exchange +
+    all_gather every frame) stay inside a host's ICI domain.
+
+    Uses mesh_utils.create_hybrid_device_mesh when multiple processes are
+    attached; degenerates to make_mesh on one host."""
+    import jax.experimental.mesh_utils as mesh_utils
+
+    n_hosts = jax.process_count()
+    n_local = jax.local_device_count()
+    if per_host_shape is None:
+        # split local devices evenly between the two raster axes
+        g = 1
+        while n_local % (g * 2) == 0 and g * 2 <= n_local // (g * 2):
+            g *= 2
+        per_host_shape = (1, g, n_local // g)
+    if n_hosts == 1:
+        arr = np.asarray(jax.devices()).reshape(per_host_shape)
+        return Mesh(arr, axis_names)
+    dcn_shape = (n_hosts,) + (1,) * (len(per_host_shape) - 1)
+    devices = mesh_utils.create_hybrid_device_mesh(
+        per_host_shape, dcn_shape, devices=jax.devices()
+    )
+    # hybrid mesh returns [data*host, gauss, tiles]-shaped device array
+    return Mesh(devices, axis_names)
+
+
 def make_mesh(
     n_data: int | None = None,
     n_gauss: int | None = None,

@@ -148,3 +148,30 @@ class TestShardedForward:
         g = jax.grad(loss)(jnp.zeros((n, 2)))
         assert np.isfinite(np.asarray(g)).all()
         assert np.abs(np.asarray(g)).sum() > 0
+
+
+class TestHybridMesh:
+    def test_single_host_hybrid_mesh(self):
+        """make_hybrid_mesh degenerates correctly on one host and the
+        tile-sharded rasterizer runs on it."""
+        from mygauhuman_tpu.parallel.mesh import (
+            init_distributed,
+            make_hybrid_mesh,
+        )
+
+        init_distributed()          # no-op single host
+        mesh = make_hybrid_mesh()
+        assert set(mesh.shape.keys()) == {"data", "gauss", "tiles"}
+        assert mesh.shape["data"] == 1
+        assert mesh.shape["gauss"] * mesh.shape["tiles"] == 8
+
+        cam, pts, scales, quats, opac, feat = make_scene(n=64)
+        cov6 = compute_cov3d(jnp.asarray(scales), jnp.asarray(quats))
+        out = rasterize_sharded(
+            jnp.asarray(pts), cov6, jnp.asarray(opac), jnp.asarray(feat),
+            jnp.asarray(cam.w2c), jnp.asarray(cam.full_proj), jnp.zeros(3),
+            mesh=mesh, width=cam.width, height=cam.height,
+            tan_fovx=float(cam.tan_fovx), tan_fovy=float(cam.tan_fovy),
+            config=RasterizerConfig(pallas_interpret=True),
+        )
+        assert np.isfinite(np.asarray(out.image)).all()
