@@ -1,8 +1,11 @@
+"""VERDICT r1 #4: the complete ZJU-budget training run, measured end-to-end
+(compile + densify + LPIPS + eval + checkpoint) through cli/train.py."""
 import time
 from mygauhuman_tpu.cli.train import main
 t0 = time.time()
 result = main([
     "--synthetic", "--synthetic_size", "512",
+    "--synthetic_verts", "6890",
     "--iterations", "1200",
     "--test_iterations", "600", "1200",
     "--save_iterations", "1200",
@@ -10,3 +13,4 @@ result = main([
     "--use_pallas",
 ])
 print("RESULT:", result, flush=True)
+print(f"TOTAL WALL (incl. scene build + compiles): {time.time()-t0:.1f}s", flush=True)

@@ -259,6 +259,9 @@ def main(argv=None) -> dict:
                         os.path.join(gdir, f"{pose_id:03d}.png"),
                         (np.clip(pair, 0, 1) * 255).astype(np.uint8),
                     )
+                    # TB image grids (train.py:458-556 parity; no-op
+                    # without tensorboard)
+                    logger.log_image(it, f"{split}/render_{pose_id}", pair)
             means = {k: float(np.mean(v)) for k, v in rows.items() if v}
             logger.log(it, means, prefix=split)
             print(f"[iter {it}] {split}: " + "  ".join(
