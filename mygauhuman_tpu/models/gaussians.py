@@ -228,17 +228,39 @@ def create_from_pcd(
 
 
 def grow_capacity(state: GaussianState, new_capacity: int) -> GaussianState:
-    """Pad every leaf to a larger capacity (outside jit; triggers re-trace)."""
+    """Pad every leaf to a larger capacity (outside jit; triggers re-trace).
+
+    New dead slots get the SAME safe fills as create_from_pcd: tiny scale
+    (log -10), ~zero opacity (logit -10), unit quaternion — zero-padding
+    would put scale-1.0, opacity-0.5, degenerate-quat ghosts in the pool
+    (masked by `alive`, but one mask bug away from artifacts and a NaN
+    hazard through normalize-at-zero gradients)."""
     cap = state.capacity
     assert new_capacity >= cap
+    extra = new_capacity - cap
 
-    def pad_leaf(x):
+    def pad_leaf(x, fill=0.0):
         if x.ndim == 0 or x.shape[0] != cap:
             return x
-        fill = jnp.zeros((new_capacity - cap,) + x.shape[1:], x.dtype)
-        return jnp.concatenate([x, fill], axis=0)
+        pad = jnp.full((extra,) + x.shape[1:], fill, x.dtype)
+        return jnp.concatenate([x, pad], axis=0)
 
-    return jax.tree_util.tree_map(pad_leaf, state)
+    p = state.params
+    params = p._replace(
+        xyz=pad_leaf(p.xyz),
+        features_dc=pad_leaf(p.features_dc),
+        features_rest=pad_leaf(p.features_rest),
+        scaling=pad_leaf(p.scaling, -10.0),
+        rotation=pad_leaf(p.rotation).at[cap:, 0].set(1.0),
+        opacity=pad_leaf(p.opacity, -10.0),
+        normal=pad_leaf(p.normal),
+        albedo=pad_leaf(p.albedo),
+        roughness=pad_leaf(p.roughness),
+    )
+    rest = jax.tree_util.tree_map(
+        pad_leaf, state._replace(params=None)
+    )
+    return rest._replace(params=params)
 
 
 # ----------------------------------------------------------------------------
