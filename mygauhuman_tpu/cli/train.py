@@ -59,7 +59,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="synthetic-scene Gaussian count (6890 = the ZJU "
                         "SMPL-vertex-cloud scale)")
     p.add_argument("--synthetic_views", type=int, default=4)
+    p.add_argument("--capacity", type=int, default=0,
+                   help="initial Gaussian capacity (0 = auto). Pre-sizing "
+                        "for the expected post-densification count avoids "
+                        "mid-run capacity-growth re-jits")
     p.add_argument("--use_pallas", action="store_true", default=None)
+    p.add_argument("--multichip", action="store_true",
+                   help="train with the tile-sharded SPMD step over a "
+                        "(data, gauss, tiles) hybrid mesh spanning all "
+                        "attached devices")
+    p.add_argument("--exchange_capacity", type=int, default=16384,
+                   help="per-(shard, strip) instance window of the "
+                        "multichip all_to_all exchange")
     return p
 
 
@@ -104,7 +115,7 @@ def main(argv=None) -> dict:
     if args.synthetic:
         from mygauhuman_tpu.data.synthetic import make_synthetic_scene
 
-        cap = 1024
+        cap = args.capacity or 1024
         while cap < 2 * args.synthetic_verts:
             cap *= 2
         scene = make_synthetic_scene(
@@ -150,7 +161,8 @@ def main(argv=None) -> dict:
         test_pose_ids = [c.pose_id for c in info.test_cameras]
         pcd = info.point_cloud
         state = G.create_from_pcd(
-            pcd.points, pcd.colors, pcd.normals, sh_degree=args.sh_degree
+            pcd.points, pcd.colors, pcd.normals, sh_degree=args.sh_degree,
+            capacity=args.capacity or None,
         )
         extent = info.nerf_normalization["radius"]
         smpl_vertices = jnp.asarray(
@@ -195,8 +207,36 @@ def main(argv=None) -> dict:
         lpips_obj = LPIPS(weights_file=args.lpips_weights or None)
 
     bg = jnp.ones(3) if args.white_background else jnp.zeros(3)
-    step_fn = make_train_step(smpl_model, tx, cfg, raster_cfg, bg=bg,
-                              lpips_fn=lpips_obj)
+    if args.multichip and len(jax.devices()) > 1:
+        # tile-sharded SPMD step over every attached device
+        # (parallel/raster.py); train_loop feeds one view per iteration,
+        # stacked to the step's [B=1, ...] batch convention
+        from mygauhuman_tpu.parallel.mesh import (
+            init_distributed,
+            make_hybrid_mesh,
+        )
+        from mygauhuman_tpu.parallel.train import (
+            make_tile_sharded_train_step,
+            stack_batches,
+        )
+
+        init_distributed()
+        mesh = make_hybrid_mesh()
+        print(f"multichip mesh: {dict(mesh.shape)}")
+        if jax.devices()[0].platform == "cpu":
+            # the sharded path always runs the Pallas kernel — interpret it
+            # on CPU (virtual-mesh validation runs)
+            raster_cfg = raster_cfg._replace(pallas_interpret=True)
+        base_step = make_tile_sharded_train_step(
+            smpl_model, tx, cfg, raster_cfg, bg=bg, mesh=mesh,
+            exchange_capacity=args.exchange_capacity, lpips_fn=lpips_obj,
+        )
+
+        def step_fn(ts, batch, deg):
+            return base_step(ts, stack_batches([batch]), deg)
+    else:
+        step_fn = make_train_step(smpl_model, tx, cfg, raster_cfg, bg=bg,
+                                  lpips_fn=lpips_obj)
     logger = MetricLogger(out_dir)
 
     gui = None

@@ -157,6 +157,7 @@ def make_tile_sharded_train_step(
     raster_axes: tuple = ("gauss", "tiles"),
     data_axis: str = "data",
     exchange_capacity: int = 4096,
+    lpips_fn=None,
 ):
     """Returns step(ts, batch, active_sh_degree) where every per-Gaussian
     leaf of `ts` is sharded over raster_axes and every batch leaf over
@@ -218,7 +219,8 @@ def make_tile_sharded_train_step(
             )
             s_cnt = jax.lax.psum(jnp.sum(alive_f) * 3, raster_axes)
             scaling_mean = s_sum / jnp.maximum(s_cnt, 1.0)
-            total, metrics = compute_losses_a(out, view, scaling_mean)
+            total, metrics = compute_losses_a(out, view, scaling_mean,
+                                              lpips_fn)
             return total, metrics, out.radii
 
         def loss_fn(params, m2d_offs):
