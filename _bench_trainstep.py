@@ -1,0 +1,37 @@
+"""Branch-A train step time with/without LPIPS at the honest operating
+point (6,890 G, cap 8,192, 512^2)."""
+import time
+import jax, jax.numpy as jnp
+from mygauhuman_tpu.config import OptimizationConfig
+from mygauhuman_tpu.data.synthetic import make_synthetic_scene
+from mygauhuman_tpu.eval.lpips import LPIPS
+from mygauhuman_tpu.models.mlps import init_lbs_offset, init_pose_refiner
+from mygauhuman_tpu.ops.rasterize import RasterizerConfig
+from mygauhuman_tpu.train.trainer import create_train_state, make_train_step
+
+rc = RasterizerConfig(use_pallas=True, instance_capacity=65536)
+scene = make_synthetic_scene(n_views=4, width=512, height=512, n_verts=6890,
+                             capacity=8192, raster_config=rc)
+cfg = OptimizationConfig()
+ts, tx = create_train_state(cfg, scene.init_state,
+                            init_pose_refiner(jax.random.PRNGKey(0)),
+                            init_lbs_offset(jax.random.PRNGKey(1)))
+b = scene.batches[0]
+
+def bench(step, label):
+    ts2, m = step(ts, b, 0)
+    jax.block_until_ready(m["loss"])
+    start = time.perf_counter(); reps = 0
+    while True:
+        for _ in range(32):
+            ts2, m = step(ts2, b, 0); reps += 1
+        jax.block_until_ready(m["loss"])
+        if time.perf_counter() - start > 3.0: break
+    dt = (time.perf_counter() - start) / reps * 1e3
+    print(f"{label}: {dt:.2f} ms/step", flush=True)
+
+bench(make_train_step(scene.smpl_model, tx, cfg, rc, bg=jnp.zeros(3)),
+      "train step (no lpips), 6890 G cap 8192")
+bench(make_train_step(scene.smpl_model, tx, cfg, rc, bg=jnp.zeros(3),
+                      lpips_fn=LPIPS()),
+      "train step (+0.01*lpips), 6890 G cap 8192")
