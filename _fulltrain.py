@@ -1,9 +1,26 @@
 """VERDICT r1 #4: the complete ZJU-budget training run, measured end-to-end
 (compile + densify + LPIPS + eval + checkpoint) through cli/train.py."""
 import time
-from mygauhuman_tpu.cli.train import main
 t0 = time.time()
-result = main([
+def tick(msg):
+    print(f"[{time.time()-t0:7.1f}s] {msg}", flush=True)
+
+import mygauhuman_tpu.train.trainer as TR
+_orig = TR.train_loop
+def train_loop_traced(*a, **k):
+    tick("entering train_loop (scene built, state ready)")
+    cb = k.get("callback")
+    def cb2(it, ts, m):
+        if it in (1, 2, 10, 100, 400, 800, 1200):
+            tick(f"iter {it} loss={float(m['loss']):.4f} alive={int(ts.gauss.num_alive)}")
+        if cb: cb(it, ts, m)
+    k["callback"] = cb2
+    return _orig(*a, **k)
+TR.train_loop = train_loop_traced
+import mygauhuman_tpu.cli.train as CT
+CT.train_loop = train_loop_traced
+
+result = CT.main([
     "--synthetic", "--synthetic_size", "512",
     "--synthetic_verts", "6890",
     "--iterations", "1200",
