@@ -1,5 +1,3 @@
-"""Branch-A train step time with/without LPIPS at the honest operating
-point (6,890 G, cap 8,192, 512^2)."""
 import time
 import jax, jax.numpy as jnp
 from mygauhuman_tpu.utils.compile_cache import enable_persistent_cache
@@ -11,9 +9,10 @@ from mygauhuman_tpu.models.mlps import init_lbs_offset, init_pose_refiner
 from mygauhuman_tpu.ops.rasterize import RasterizerConfig
 from mygauhuman_tpu.train.trainer import create_train_state, make_train_step
 
-rc = RasterizerConfig(use_pallas=True, instance_capacity=65536)
-scene = make_synthetic_scene(n_views=4, width=512, height=512, n_verts=6890,
-                             capacity=8192, raster_config=rc)
+CAP = 65536
+rc = RasterizerConfig(use_pallas=True, instance_capacity=8 * CAP)
+scene = make_synthetic_scene(n_views=4, width=512, height=512, n_verts=40000,
+                             capacity=CAP, raster_config=rc)
 cfg = OptimizationConfig()
 ts, tx = create_train_state(cfg, scene.init_state,
                             init_pose_refiner(jax.random.PRNGKey(0)),
@@ -33,7 +32,7 @@ def bench(step, label):
     print(f"{label}: {dt:.2f} ms/step", flush=True)
 
 bench(make_train_step(scene.smpl_model, tx, cfg, rc, bg=jnp.zeros(3)),
-      "train step (no lpips), 6890 G cap 8192")
+      "train step (no lpips), 40k G cap 65536")
 bench(make_train_step(scene.smpl_model, tx, cfg, rc, bg=jnp.zeros(3),
                       lpips_fn=LPIPS()),
-      "train step (+0.01*lpips), 6890 G cap 8192")
+      "train step (+lpips), 40k G cap 65536")

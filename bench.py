@@ -17,6 +17,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from mygauhuman_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from mygauhuman_tpu.data.synthetic import make_synthetic_scene
     from mygauhuman_tpu.ops.rasterize import RasterizerConfig
     from mygauhuman_tpu.render import render_frame

@@ -13,6 +13,9 @@ def main(argv=None) -> dict:
     args = p.parse_args(argv)
 
     from mygauhuman_tpu.eval.metrics import evaluate_dirs
+    from mygauhuman_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     result = evaluate_dirs(args.renders_dir, args.gt_dir, args.out)
     print(f"PSNR {result['psnr']:.2f}  SSIM {result['ssim']:.4f}  "

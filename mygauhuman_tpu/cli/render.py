@@ -38,6 +38,10 @@ def main(argv=None) -> dict:
     import jax
     import jax.numpy as jnp
 
+    from mygauhuman_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     args = build_parser().parse_args(argv)
 
     from mygauhuman_tpu.eval.metrics import evaluate_images

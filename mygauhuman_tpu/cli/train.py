@@ -64,6 +64,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "for the expected post-densification count avoids "
                         "mid-run capacity-growth re-jits")
     p.add_argument("--use_pallas", action="store_true", default=None)
+    p.add_argument("--scan_chunk", type=int, default=100,
+                   help="iterations fused per dispatch (lax.scan over "
+                        "stacked views); 1 disables. Chunks never cross "
+                        "densify/reset/SH/test/save boundaries, so the "
+                        "schedule is identical — only callback cadence "
+                        "changes. Forced to 1 with --gui (interactivity)")
     p.add_argument("--multichip", action="store_true",
                    help="train with the tile-sharded SPMD step over a "
                         "(data, gauss, tiles) hybrid mesh spanning all "
@@ -77,6 +83,10 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> dict:
     import jax
     import jax.numpy as jnp
+
+    from mygauhuman_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     args = build_parser().parse_args(argv)
 
@@ -236,7 +246,7 @@ def main(argv=None) -> dict:
             return base_step(ts, stack_batches([batch]), deg)
     else:
         step_fn = make_train_step(smpl_model, tx, cfg, raster_cfg, bg=bg,
-                                  lpips_fn=lpips_obj)
+                                  lpips_fn=lpips_obj, donate=True)
     logger = MetricLogger(out_dir)
 
     gui = None
@@ -370,12 +380,16 @@ def main(argv=None) -> dict:
                             eval_cache)
 
     phase_a_iters = min(cfg.iterations, cfg.pbr_iteration)
+    scan_chunk = 1 if args.gui else max(1, args.scan_chunk)
     ts, metrics = train_loop(
         ts, tx, step_fn, train_batches, cfg,
         extent=extent, smpl_vertices=smpl_vertices,
         max_sh_degree=args.sh_degree, seed=args.seed, callback=callback,
         num_iterations=phase_a_iters,
         start_iteration=min(start_iteration, phase_a_iters),
+        scan_chunk=scan_chunk,
+        callback_iters=tuple(sorted(set(args.test_iterations)
+                                    | set(args.save_iterations))),
     )
 
     if cfg.iterations > cfg.pbr_iteration:

@@ -89,24 +89,30 @@ def export_torch_weights(out_path: str, vgg_state: dict, lin_state: dict):
 
 def _conv(x, p):
     return jax.lax.conv_general_dilated(
-        x, p["w"], (1, 1), "SAME",
+        x, p["w"].astype(x.dtype), (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    ) + p["b"]
+    ) + p["b"].astype(x.dtype)
 
 
 def _features(params: LPIPSParams, x: jnp.ndarray) -> list:
-    """x: [N, H, W, 3] in [0, 1] -> list of 5 stage activations."""
+    """x: [N, H, W, 3] in [0, 1] -> list of 5 stage activations.
+
+    The VGG trunk runs in bf16 (the MXU's native rate, half the HBM traffic
+    of fp32); stage activations are returned as f32 for the unit-normalize /
+    distance math. A perceptual distance tolerates bf16 features.
+    """
     x = x * 2.0 - 1.0                                   # lpips takes [-1, 1]
-    x = (x - _SHIFT) / _SCALE
+    x = ((x - _SHIFT) / _SCALE).astype(jnp.bfloat16)
     feats = []
     for i, (p, (_, pool)) in enumerate(zip(params.convs, _VGG_PLAN)):
         if pool:
             x = jax.lax.reduce_window(
-                x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+                x, x.dtype.type(-jnp.inf), jax.lax.max,
+                (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
             )
         x = jax.nn.relu(_conv(x, p))
         if i in _STAGE_ENDS:
-            feats.append(x)
+            feats.append(x.astype(jnp.float32))
     return feats
 
 

@@ -216,14 +216,18 @@ def create_from_pcd(
         roughness=pad(jnp.ones((n, 1), jnp.float32)),
     )
     alive = jnp.arange(cap) < n
-    zeros = jnp.zeros((cap,), jnp.float32)
+    # distinct zero buffers: leaves must not alias one array, or donating
+    # the state to the jitted train step (donate_argnums) is rejected
+    def zeros():
+        return jnp.zeros((cap,), jnp.float32)
+
     return GaussianState(
         params=params,
         alive=alive,
         smpl_normal=pad(nrm),
-        xyz_grad_accum=zeros,
-        denom=zeros,
-        max_radii2d=zeros,
+        xyz_grad_accum=zeros(),
+        denom=zeros(),
+        max_radii2d=zeros(),
     )
 
 
@@ -556,8 +560,11 @@ def reset_opacity(state: GaussianState) -> GaussianState:
 
 
 def reset_densification_stats(state: GaussianState) -> GaussianState:
-    z = jnp.zeros_like(state.xyz_grad_accum)
-    return state._replace(xyz_grad_accum=z, denom=z, max_radii2d=z)
+    def z():
+        # distinct buffers (donation rejects aliased leaves)
+        return jnp.zeros_like(state.xyz_grad_accum)
+
+    return state._replace(xyz_grad_accum=z(), denom=z(), max_radii2d=z())
 
 
 @functools.partial(jax.jit, static_argnames=("use_kl", "max_screen_size_on"))

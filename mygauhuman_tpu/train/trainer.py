@@ -82,6 +82,31 @@ def create_train_state(
     ), tx
 
 
+#: Static side length of the LPIPS crop window. On ZJU-format data the
+#: subject's bound-mask bbox fits comfortably inside 384x384 of the 512x512
+#: frame; anything the window misses was already zeroed by the mask on BOTH
+#: images, so the distance is unaffected in the common case and merely
+#: under-crops (extra zero border) in the worst case.
+LPIPS_CROP = 384
+
+
+def _lpips_crop(stack: jnp.ndarray, bm: jnp.ndarray) -> jnp.ndarray:
+    """Crop [K, H, W, 3] to the static LPIPS window centered on mask bbox."""
+    H, W = bm.shape
+    ch, cw = min(LPIPS_CROP, H), min(LPIPS_CROP, W)
+    if (ch, cw) == (H, W):
+        return stack
+    on = bm > 0
+    rows, cols = jnp.any(on, axis=1), jnp.any(on, axis=0)
+    y0, x0 = jnp.argmax(rows), jnp.argmax(cols)
+    y1, x1 = H - jnp.argmax(rows[::-1]), W - jnp.argmax(cols[::-1])
+    ys = jnp.clip((y0 + y1) // 2 - ch // 2, 0, H - ch)
+    xs = jnp.clip((x0 + x1) // 2 - cw // 2, 0, W - cw)
+    return jax.lax.dynamic_slice(
+        stack, (0, ys, xs, 0), (stack.shape[0], ch, cw, 3)
+    )
+
+
 def compute_losses_a(
     out,
     batch: TrainBatch,
@@ -103,14 +128,19 @@ def compute_losses_a(
     )
     if lpips_fn is not None:
         # Reference computes lpips on the bound-mask bounding-rect crop
-        # (train.py:269-281) — a dynamic shape. The static-shape equivalent:
-        # zero both images outside the bound mask (VGG features are local, so
-        # identical zero regions contribute ~nothing to the distance).
+        # (train.py:269-281) — a dynamic shape. Static-shape equivalent:
+        # zero outside the mask (VGG features are local, identical zero
+        # regions contribute ~nothing), then dynamic_slice a STATIC-size
+        # window centered on the mask bbox — the crop start is traced, the
+        # size is not, so the VGG cost scales with the subject, not the
+        # frame. Both lpips pairs ride ONE batched VGG pass.
         bm3 = bm[..., None]
-        lpips_val = lpips_fn(out.render * bm3, batch.gt_image * bm3)
-        lpips_val = lpips_val + lpips_fn(
-            out.normal * bm3, batch.gt_normal * bm3
-        )
+        stack = jnp.stack([
+            out.render * bm3, batch.gt_image * bm3,
+            out.normal * bm3, batch.gt_normal * bm3,
+        ])
+        crop = _lpips_crop(stack, bm)
+        lpips_val = jnp.sum(lpips_fn(crop[0::2], crop[1::2]))
     else:
         lpips_val = jnp.zeros(())
     tv = L.masked_tv_loss(out.render_alpha, out.normal)
@@ -147,11 +177,16 @@ def make_train_step(
     raster_config: RasterizerConfig,
     bg: jnp.ndarray,
     lpips_fn: Callable | None = None,
+    donate: bool = False,
 ):
-    """Build the jitted train step. Retraces per (capacity, sh_degree)."""
+    """Build the jitted train step. Retraces per (capacity, sh_degree).
 
-    @functools.partial(jax.jit, static_argnums=(2,))
-    def _step(ts: TrainState, batch: TrainBatch, active_sh_degree: int):
+    donate=True updates the params + Adam-moment buffers (~50 MB at 64k
+    capacity) in place instead of copying them every step — the production
+    train-loop mode. Leave False when the SAME TrainState is fed to the step
+    more than once (determinism tests, benchmarks)."""
+
+    def _step_impl(ts: TrainState, batch: TrainBatch, active_sh_degree: int):
         cap = ts.gauss.capacity
         zeros2d = jnp.zeros((cap, 2), jnp.float32)
 
@@ -209,10 +244,32 @@ def make_train_step(
         )
         return new_ts, metrics
 
+    _step = functools.partial(jax.jit, static_argnums=(2,),
+                              donate_argnums=(0,) if donate else ())(
+        _step_impl)
+
+    @functools.partial(jax.jit, static_argnums=(2,),
+                       donate_argnums=(0,) if donate else ())
+    def _chunk(ts: TrainState, batches: TrainBatch, active_sh_degree: int):
+        """K iterations in ONE dispatch: lax.scan of the step over a
+        [K, ...]-stacked TrainBatch. In a remote-dispatch environment every
+        jitted call pays tunnel latency; scanning K steps amortizes it K-fold
+        (the measured full-train loop was dispatch-bound, PERF.md)."""
+
+        def body(ts, batch):
+            return _step_impl(ts, batch, active_sh_degree)
+
+        return jax.lax.scan(body, ts, batches)
+
     def step(ts, batch, active_sh_degree: int):
         # static sh degree: at most sh_degree+1 retraces over a run
         return _step(ts, batch, int(active_sh_degree))
 
+    def chunk(ts, batches, active_sh_degree: int):
+        """(ts, [K]-stacked batches, deg) -> (ts, [K]-stacked metrics)."""
+        return _chunk(ts, batches, int(active_sh_degree))
+
+    step.chunk = chunk
     return step
 
 
@@ -290,6 +347,8 @@ def train_loop(
     num_iterations: int | None = None,
     start_iteration: int = 0,
     callback: Callable | None = None,
+    scan_chunk: int = 1,
+    callback_iters: tuple = (),
 ):
     """Host-side schedule: random view order, densify/reset events.
 
@@ -297,6 +356,12 @@ def train_loop(
     views, refilled when exhausted. `start_iteration` resumes mid-schedule
     (the --start_checkpoint path, reference train.py:136-138,179): densify /
     opacity-reset / SH-ramp events line up with the original run.
+
+    scan_chunk > 1 runs up to that many iterations per dispatch via
+    `step_fn.chunk` (a lax.scan over stacked views) — chunks never cross a
+    densify/reset/SH-ramp boundary or an iteration in `callback_iters`, so
+    the schedule is bit-identical to scan_chunk=1; only the callback cadence
+    changes (invoked once per chunk, with that chunk's LAST metrics).
     """
     import numpy as np
 
@@ -305,17 +370,58 @@ def train_loop(
     key = jax.random.PRNGKey(seed)
     stack: list[int] = []
     metrics = {}
-    for it in range(start_iteration + 1, num_iterations + 1):
+    chunked = scan_chunk > 1 and hasattr(step_fn, "chunk")
+    cb_set = set(int(i) for i in callback_iters)
+
+    def pick_batch():
+        nonlocal stack
         if not stack:
             stack = list(range(len(batches)))
-        batch = batches[stack.pop(host_rng.randint(len(stack)))]
+        return batches[stack.pop(host_rng.randint(len(stack)))]
+
+    def chunk_end(it):
+        """Last iteration of the chunk starting at `it`: never cross an
+        event boundary (events fire AT multiples, so a chunk may END on one
+        but not contain one mid-chunk), an SH-degree change, or an
+        iteration the caller must observe."""
+        end = min(it + scan_chunk - 1, num_iterations)
+        # SH degree is static per chunk: stop before it//1000 changes
+        end = min(end, (it // 1000 + 1) * 1000 - 1)
+        for e in range(it, end + 1):
+            is_event = (
+                (cfg.densify_from_iter <= e < cfg.densify_until_iter
+                 and e % cfg.densification_interval == 0)
+                or e % cfg.opacity_reset_interval == 0
+                or e in cb_set
+            )
+            if is_event:
+                return e
+        return end
+
+    it = start_iteration + 1
+    while it <= num_iterations:
         deg = active_sh_degree_at(it, max_sh_degree)
-        ts, metrics = step_fn(ts, batch, deg)
+        if chunked:
+            end = chunk_end(it)
+            k = end - it + 1
+        else:
+            end, k = it, 1
+        if k == 1:
+            ts, metrics = step_fn(ts, pick_batch(), deg)
+        else:
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *[pick_batch() for _ in range(k)]
+            )
+            ts, mseq = step_fn.chunk(ts, stacked, deg)
+            metrics = jax.tree_util.tree_map(lambda x: x[-1], mseq)
+        it = end
 
         # failure detection (reference has none beyond snapshot dumps,
         # SURVEY.md §5.3): a non-finite loss snapshots the blown-up state
         # for offline repro and aborts instead of training on garbage
-        if it % 50 == 0 and not np.isfinite(float(metrics["loss"])):
+        if (chunked or it % 50 == 0) and not np.isfinite(
+            float(metrics["loss"])
+        ):
             from mygauhuman_tpu.train.checkpoint import save_checkpoint
 
             path = save_checkpoint("output/diverged", it, ts)
@@ -347,4 +453,5 @@ def train_loop(
             )
         if callback is not None:
             callback(it, ts, metrics)
+        it += 1
     return ts, metrics

@@ -1,0 +1,35 @@
+"""Persistent XLA compilation cache.
+
+The reference has no analogue (CUDA kernels AOT-compile at pip-install
+time); under JAX every train-step signature JITs at first use, and in a
+remote-compile environment (the axon tunnel) a big LPIPS-laden train step
+costs 40-120 s per signature. Caching compiled executables on disk makes
+every repeat run — and every capacity-growth re-jit that was seen before —
+near-instant, which is most of the gap between the measured full-train wall
+clock and its device-time floor (PERF.md "Measured end-to-end training").
+
+Called by every CLI driver, `bench.py`, and `__graft_entry__`.
+"""
+from __future__ import annotations
+
+import os
+
+_DEFAULT = os.path.expanduser("~/.cache/mygauhuman_tpu/xla_cache")
+
+
+def enable_persistent_cache(path: str | None = None) -> str:
+    """Idempotently point JAX's compilation cache at a persistent dir.
+
+    Override with MYGAUHUMAN_JAX_CACHE=<dir>; set it to "0"/"off" to
+    disable (e.g. for cold-compile benchmarking).
+    """
+    import jax
+
+    env = os.environ.get("MYGAUHUMAN_JAX_CACHE", "")
+    if env.lower() in ("0", "off", "none"):
+        return ""
+    path = path or env or _DEFAULT
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return path

@@ -34,6 +34,15 @@ class MetricLogger:
             "step": step,
             "wall_s": round(time.time() - self._t0, 3),
         }
+        try:
+            # ONE device->host transfer for the whole dict (per-scalar
+            # float() pays a full dispatch round trip each in a
+            # remote-device environment)
+            import jax
+
+            metrics = jax.device_get(metrics)
+        except Exception:
+            pass
         for k, v in metrics.items():
             v = float(v)
             record[f"{prefix}/{k}"] = v

@@ -137,6 +137,47 @@ class TestTrainStep:
         # densify events cause transient dips; require no net regression
         assert np.mean(psnrs[-10:]) > psnrs[0] - 1.0, (psnrs[0], psnrs[-10:])
 
+    def test_scan_chunked_loop_matches_unchunked(self, scene):
+        """scan_chunk>1 (lax.scan of the step, donated state) must replay the
+        exact unchunked schedule: same view order, same densify events, same
+        final state — only the callback cadence changes."""
+        cfg = OptimizationConfig(
+            iterations=25, densify_from_iter=6, densify_until_iter=20,
+            densification_interval=5,
+        )
+
+        def run(chunk, donate):
+            # donate=True consumes the state buffers — never hand the
+            # module-scoped fixture's arrays to a donating step
+            init = jax.tree_util.tree_map(jnp.copy, scene.init_state)
+            ts, tx = create_train_state(
+                cfg, init,
+                init_pose_refiner(jax.random.PRNGKey(0)),
+                init_lbs_offset(jax.random.PRNGKey(1)),
+            )
+            step_fn = make_train_step(
+                scene.smpl_model, tx, cfg, scene.raster_config,
+                bg=jnp.zeros(3), donate=donate,
+            )
+            seen = []
+            ts, m = train_loop(
+                ts, tx, step_fn, scene.batches, cfg,
+                extent=scene.extent, smpl_vertices=scene.big_pose_verts,
+                max_sh_degree=0, seed=3, scan_chunk=chunk,
+                callback_iters=(13,),
+                callback=lambda it, ts, m: seen.append(it),
+            )
+            return float(m["loss"]), int(ts.gauss.num_alive), seen
+
+        l1, a1, seen1 = run(1, False)
+        l2, a2, seen2 = run(8, True)
+        assert a1 == a2
+        assert abs(l1 - l2) < 1e-5, (l1, l2)
+        # chunks end exactly on densify events (10, 15) and callback
+        # iterations (13); a chunk never crosses one
+        assert 10 in seen2 and 13 in seen2 and 15 in seen2
+        assert seen1 == list(range(1, 26))
+
     def test_geometry_frozen_past_pbr_iteration(self, scene):
         cfg = OptimizationConfig(pbr_iteration=0)  # freeze from step 0
         k = jax.random.PRNGKey(0)
