@@ -257,13 +257,37 @@ def main(argv=None) -> dict:
 
     eval_cache: dict = {}
 
+    # jitted eval render + metric bundle: render_frame is a plain jnp
+    # composition, and an unjitted call pays per-op dispatch latency (the
+    # remote-device tunnel makes that seconds per image)
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def _eval_render(gauss, camera, frame, mlps, deg):
+        out = render_frame(
+            gauss, camera, frame, smpl_model, bg=bg, active_sh_degree=deg,
+            mlp_params=mlps, config=raster_cfg,
+        )
+        return out
+
+    @jax.jit
+    def _eval_metrics(render, gt):
+        from mygauhuman_tpu.train.losses import l1_loss, ssim as ssim_fn
+
+        m = {
+            "l1": l1_loss(render, gt),
+            "psnr": psnr_fn(render, gt),
+            "ssim": ssim_fn(render, gt),
+        }
+        if lpips_obj is not None:
+            m["lpips"] = lpips_obj(render, gt)
+        return m
+
     def run_eval(it, ts):
         """Test-iteration report parity (train.py:458-556): L1/PSNR/SSIM/
         LPIPS on the test split + a train sample, render galleries, and the
         per-pose LBS replay cache."""
         import imageio.v2 as imageio
-
-        from mygauhuman_tpu.train.losses import l1_loss, ssim as ssim_fn
 
         splits = {
             "test": list(zip(test_pose_ids, test_batches)),
@@ -278,21 +302,16 @@ def main(argv=None) -> dict:
             if not args.skip_galleries:
                 os.makedirs(gdir, exist_ok=True)
             for pose_id, batch in items:
-                out = render_frame(
-                    ts.gauss, batch.camera, batch.frame, smpl_model,
-                    bg=bg, active_sh_degree=min(it // 1000, args.sh_degree),
-                    mlp_params={"pose_refiner": ts.pose_refiner,
-                                "lbs_offset": ts.lbs_offset},
-                    config=raster_cfg,
+                out = _eval_render(
+                    ts.gauss, batch.camera, batch.frame,
+                    {"pose_refiner": ts.pose_refiner,
+                     "lbs_offset": ts.lbs_offset},
+                    min(it // 1000, args.sh_degree),
                 )
-                rows["l1"].append(float(l1_loss(out.render, batch.gt_image)))
-                rows["psnr"].append(
-                    float(psnr_fn(out.render, batch.gt_image)))
-                rows["ssim"].append(
-                    float(ssim_fn(out.render, batch.gt_image)))
-                if lpips_obj is not None:
-                    rows["lpips"].append(
-                        float(lpips_obj(out.render, batch.gt_image)))
+                m = jax.device_get(
+                    _eval_metrics(out.render, batch.gt_image))
+                for k, v in m.items():
+                    rows[k].append(float(v))
                 if split == "test":
                     # keyed by pose_id (reference keys smpl_rot by pose,
                     # train.py:548-552) so replay survives reordering
