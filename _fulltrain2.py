@@ -11,7 +11,7 @@ def train_loop_traced(*a, **k):
     tick("entering train_loop (scene built, state ready)")
     cb = k.get("callback")
     def cb2(it, ts, m):
-        if it in (1, 2, 10, 100, 400, 800, 1200):
+        if it == 1 or it % 100 == 0:
             tick(f"iter {it} loss={float(m['loss']):.4f} alive={int(ts.gauss.num_alive)}")
         if cb: cb(it, ts, m)
     k["callback"] = cb2

@@ -248,26 +248,48 @@ def make_train_step(
                               donate_argnums=(0,) if donate else ())(
         _step_impl)
 
-    @functools.partial(jax.jit, static_argnums=(2,),
+    @functools.partial(jax.jit, static_argnums=(4,),
                        donate_argnums=(0,) if donate else ())
-    def _chunk(ts: TrainState, batches: TrainBatch, active_sh_degree: int):
-        """K iterations in ONE dispatch: lax.scan of the step over a
-        [K, ...]-stacked TrainBatch. In a remote-dispatch environment every
-        jitted call pays tunnel latency; scanning K steps amortizes it K-fold
-        (the measured full-train loop was dispatch-bound, PERF.md)."""
+    def _chunk(ts: TrainState, views: TrainBatch, idx: jnp.ndarray,
+               n: jnp.ndarray, active_sh_degree: int):
+        """Up to len(idx) iterations in ONE dispatch: a dynamic-trip
+        fori_loop of the step over an index vector into the [V, ...]-stacked
+        view set (device-resident — each trip gathers ONE view, no [K, ...]
+        batch is ever materialized). The trip count `n` is a traced scalar,
+        so every chunk length shares ONE compiled program (a lax.scan per
+        distinct K would pay a full compile of the same body each). In a
+        remote-dispatch environment every jitted call pays tunnel latency;
+        chunking amortizes it K-fold (the measured full-train loop was
+        dispatch-bound, PERF.md)."""
+        mshape = jax.eval_shape(
+            lambda ts, b: _step_impl(ts, b, active_sh_degree)[1],
+            ts, jax.tree_util.tree_map(lambda x: x[0], views))
+        mbuf = jax.tree_util.tree_map(
+            lambda s: jnp.zeros((idx.shape[0],) + s.shape, s.dtype), mshape)
 
-        def body(ts, batch):
-            return _step_impl(ts, batch, active_sh_degree)
+        def body(t, carry):
+            ts, mbuf = carry
+            batch = jax.tree_util.tree_map(lambda x: x[idx[t]], views)
+            ts, m = _step_impl(ts, batch, active_sh_degree)
+            mbuf = jax.tree_util.tree_map(
+                lambda buf, v: buf.at[t].set(v), mbuf, m)
+            return ts, mbuf
 
-        return jax.lax.scan(body, ts, batches)
+        return jax.lax.fori_loop(0, n, body, (ts, mbuf))
 
     def step(ts, batch, active_sh_degree: int):
         # static sh degree: at most sh_degree+1 retraces over a run
         return _step(ts, batch, int(active_sh_degree))
 
-    def chunk(ts, batches, active_sh_degree: int):
-        """(ts, [K]-stacked batches, deg) -> (ts, [K]-stacked metrics)."""
-        return _chunk(ts, batches, int(active_sh_degree))
+    def chunk(ts, views, idx, active_sh_degree: int, pad_to: int = 0):
+        """(ts, [V]-stacked views, [K<=pad_to] idx, deg) -> (ts, metrics
+        stacked [pad_to] with only the first K rows live)."""
+        n = len(idx)
+        pad_to = max(pad_to, n)
+        idx = list(idx) + [0] * (pad_to - n)
+        ts, mseq = _chunk(ts, views, jnp.asarray(idx, jnp.int32),
+                          jnp.int32(n), int(active_sh_degree))
+        return ts, (mseq, n)
 
     step.chunk = chunk
     return step
@@ -372,12 +394,21 @@ def train_loop(
     metrics = {}
     chunked = scan_chunk > 1 and hasattr(step_fn, "chunk")
     cb_set = set(int(i) for i in callback_iters)
+    views = None
+    if chunked:
+        # one [V, ...] device-resident stack of all train views: chunks
+        # scan over index vectors and gather on device (no H2D per chunk,
+        # no [K, ...] batch buffer). Same total bytes as the view list.
+        views = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
 
-    def pick_batch():
+    def pick_index():
         nonlocal stack
         if not stack:
             stack = list(range(len(batches)))
-        return batches[stack.pop(host_rng.randint(len(stack)))]
+        return stack.pop(host_rng.randint(len(stack)))
+
+    def pick_batch():
+        return batches[pick_index()]
 
     def chunk_end(it):
         """Last iteration of the chunk starting at `it`: never cross an
@@ -409,11 +440,10 @@ def train_loop(
         if k == 1:
             ts, metrics = step_fn(ts, pick_batch(), deg)
         else:
-            stacked = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *[pick_batch() for _ in range(k)]
-            )
-            ts, mseq = step_fn.chunk(ts, stacked, deg)
-            metrics = jax.tree_util.tree_map(lambda x: x[-1], mseq)
+            idx = [pick_index() for _ in range(k)]
+            ts, (mseq, n) = step_fn.chunk(ts, views, idx, deg,
+                                          pad_to=scan_chunk)
+            metrics = jax.tree_util.tree_map(lambda x: x[n - 1], mseq)
         it = end
 
         # failure detection (reference has none beyond snapshot dumps,
