@@ -93,6 +93,33 @@ def make_synthetic_scene(
     cfg = raster_config or RasterizerConfig(tile_capacity=512, chunk_tiles=16)
     big_jnp = {k: jnp.asarray(v) for k, v in big.items()}
 
+    @jax.jit
+    def _gt_view(cam, frame):
+        """GT render + masks for one view, in ONE dispatch (eager per-op
+        execution pays a tiny-program compile per op on remote backends)."""
+        out = render_frame(
+            gt_state, cam, frame, model,
+            bg=jnp.zeros(3), active_sh_degree=0, config=cfg,
+        )
+        alpha = out.render_alpha
+        bkgd = (alpha > 0.5).astype(jnp.float32)
+        # bound mask: dilated person bbox (stand-in for the projected
+        # SMPL box fill, dataset_readers.py:1288-1299)
+        ys, xs = jnp.nonzero(alpha > 0.01, size=width * height,
+                             fill_value=-1)
+        valid = ys >= 0
+        pad = 4
+        y0 = jnp.maximum(jnp.min(jnp.where(valid, ys, height)) - pad, 0)
+        y1 = jnp.minimum(jnp.max(jnp.where(valid, ys, 0)) + pad, height)
+        x0 = jnp.maximum(jnp.min(jnp.where(valid, xs, width)) - pad, 0)
+        x1 = jnp.minimum(jnp.max(jnp.where(valid, xs, 0)) + pad, width)
+        yy = jnp.arange(height)[:, None]
+        xx = jnp.arange(width)[None, :]
+        bound = ((yy >= y0) & (yy <= y1) & (xx >= x0) & (xx <= x1))
+        return (jax.lax.stop_gradient(out.render),
+                jax.lax.stop_gradient(out.normal),
+                bkgd, bound.astype(jnp.float32))
+
     batches = []
     for v in range(n_views):
         theta = 2 * np.pi * v / n_views
@@ -111,32 +138,14 @@ def make_synthetic_scene(
                 big_pose_param=big_jnp,
                 big_pose_verts=verts,
             )
-            out = render_frame(
-                gt_state, cam, frame, model,
-                bg=jnp.zeros(3), active_sh_degree=0, config=cfg,
-            )
-            alpha = out.render_alpha
-            bkgd = (alpha > 0.5).astype(jnp.float32)
-            # bound mask: dilated person bbox (stand-in for the projected
-            # SMPL box fill, dataset_readers.py:1288-1299)
-            ys, xs = jnp.nonzero(alpha > 0.01, size=width * height,
-                                 fill_value=-1)
-            valid = ys >= 0
-            pad = 4
-            y0 = jnp.maximum(jnp.min(jnp.where(valid, ys, height)) - pad, 0)
-            y1 = jnp.minimum(jnp.max(jnp.where(valid, ys, 0)) + pad, height)
-            x0 = jnp.maximum(jnp.min(jnp.where(valid, xs, width)) - pad, 0)
-            x1 = jnp.minimum(jnp.max(jnp.where(valid, xs, 0)) + pad, width)
-            yy = jnp.arange(height)[:, None]
-            xx = jnp.arange(width)[None, :]
-            bound = ((yy >= y0) & (yy <= y1) & (xx >= x0) & (xx <= x1))
+            gt_image, gt_normal, bkgd, bound = _gt_view(cam, frame)
             batches.append(TrainBatch(
                 camera=cam,
                 frame=frame,
-                gt_image=jax.lax.stop_gradient(out.render),
-                gt_normal=jax.lax.stop_gradient(out.normal),
+                gt_image=gt_image,
+                gt_normal=gt_normal,
                 bkgd_mask=bkgd,
-                bound_mask=bound.astype(jnp.float32),
+                bound_mask=bound,
             ))
 
     # Training init: same geometry, gray colors, default opacity (0.1)
