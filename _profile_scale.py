@@ -38,7 +38,8 @@ def bench(fn, args, n=128, label=""):
 
 for n_verts, cap in [(8192, 16384), (32768, 65536)]:
     print(f"\n=== {n_verts} Gaussians (capacity {cap}) ===")
-    cfg = RasterizerConfig(tile_capacity=1024, chunk_tiles=64, use_pallas=True)
+    cfg = RasterizerConfig(tile_capacity=1024, chunk_tiles=64, use_pallas=True,
+                           instance_capacity=8 * cap)
     scene = make_synthetic_scene(
         n_views=4, width=W, height=H, n_verts=n_verts, capacity=cap,
         raster_config=cfg)
@@ -90,7 +91,8 @@ for n_verts, cap in [(8192, 16384), (32768, 65536)]:
     def stage_bin(m2, r, d, v):
         return bin_gaussians(m2, r, d, v, width=W, height=H,
                              tile_w=16, tile_h=16,
-                             max_tiles_per_gaussian=16, tile_capacity=1024)
+                             max_tiles_per_gaussian=16, tile_capacity=1024,
+                             instance_capacity=8 * cap)
     bins = stage_bin(proj.means2d, proj.radii, proj.depths,
                      proj.visible & alive)
     t_bin = bench(stage_bin, (proj.means2d, proj.radii, proj.depths,

@@ -437,9 +437,11 @@ def train_loop(
             k = end - it + 1
         else:
             end, k = it, 1
-        if k == 1:
+        if not chunked:
             ts, metrics = step_fn(ts, pick_batch(), deg)
         else:
+            # k == 1 also rides the chunk program (n = 1) — a separate
+            # single-step executable would cost its own compile
             idx = [pick_index() for _ in range(k)]
             ts, (mseq, n) = step_fn.chunk(ts, views, idx, deg,
                                           pad_to=scan_chunk)
