@@ -89,12 +89,22 @@ for n_verts, cap in [(8192, 16384), (32768, 65536)]:
 
     @jax.jit
     def stage_bin(m2, r, d, v):
+        b = bin_gaussians(m2, r, d, v, width=W, height=H,
+                          tile_w=16, tile_h=16,
+                          max_tiles_per_gaussian=16, tile_capacity=1024,
+                          instance_capacity=8 * cap)
+        # only the Pallas-path outputs: the [T, K] idx/valid gather is
+        # DCE'd in the real pipeline and must not be forced here
+        return b.sorted_gid, b.starts, b.counts
+
+    @jax.jit
+    def stage_bin_full(m2, r, d, v):
         return bin_gaussians(m2, r, d, v, width=W, height=H,
                              tile_w=16, tile_h=16,
                              max_tiles_per_gaussian=16, tile_capacity=1024,
                              instance_capacity=8 * cap)
-    bins = stage_bin(proj.means2d, proj.radii, proj.depths,
-                     proj.visible & alive)
+    bins = stage_bin_full(proj.means2d, proj.radii, proj.depths,
+                          proj.visible & alive)
     t_bin = bench(stage_bin, (proj.means2d, proj.radii, proj.depths,
                               proj.visible & alive), label="binning")
     print("  instances total:", int(jnp.sum(jnp.minimum(bins.counts, 1024))),
