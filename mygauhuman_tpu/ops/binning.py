@@ -44,6 +44,7 @@ class TileLists(NamedTuple):
     starts: jnp.ndarray     # [T] int32 offset of each tile's slice in sorted_gid
 
 
+
 def tile_dims(width: int, height: int, tile_w: int, tile_h: int) -> tuple[int, int]:
     return -(-width // tile_w), -(-height // tile_h)
 

@@ -16,10 +16,13 @@ with a recompute-based two-pass kernel mirroring the reference CUDA backward
     the chunk + a carry across chunks) — the same suffix-accumulation trick
     as the CUDA back-to-front replay, vectorized over lanes.
 
-Per-instance gradients are written to an instance-major [G, NS] matrix with
+Per-instance gradients are written to an instance-major [NS, G] matrix
+(instances on the SUBLANE axis: each instance's G gradient components are
+contiguous, which is what makes the downstream per-Gaussian row-gather
+reduction fast — XLA's gather emitter needs gather-dim-major operands) with
 read-modify-write DMAs (chunk-aligned windows can overlap the neighboring
-tile's lanes; the sequential grid makes RMW exact), then segment-summed by
-Gaussian id OUTSIDE the kernel — deterministic, no atomics
+tile's rows; the sequential grid makes RMW exact), then reduced per Gaussian
+OUTSIDE the kernel by inverting the binning sort — deterministic, no atomics
 (SURVEY.md §7.3 "atomic-free deterministic gradient reduction").
 
 Gradient-row layout (G = 8 + C, matching the forward's input layout):
@@ -50,8 +53,8 @@ def _blend_bwd_kernel(
     data_ref,                     # [D, NS] instance data in HBM (ANY)
     cot_ref,                      # [TB, P, c_out] cotangents block per step
     grad_init_ref,                # zero-init input, aliased to grad_ref
-    grad_ref,                     # [G, NS] instance grads in HBM (ANY), RMW
-    chunk_buf, gbuf, logt_buf, sem, sem2,
+    grad_ref,                     # [NS, G] instance grads in HBM (ANY), RMW
+    chunk_buf, gbuf, rmw_buf, logt_buf, sem, sem2,
     *,
     tile_w: int,
     tile_h: int,
@@ -60,6 +63,7 @@ def _blend_bwd_kernel(
     chunk: int,
     tiles_per_step: int,
     max_chunks: int,
+    g_out: int,
 ):
     P = tile_w * tile_h
     pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
@@ -212,18 +216,29 @@ def _blend_bwd_kernel(
             gbuf[HDR:, :] = d_feat
 
             # read-modify-write accumulate into the global instance grads
+            # (instance-major [NS, G]: transpose the [G, chunk] staging
+            # block — cheap VREG shuffles — so each instance's gradient
+            # row lands contiguous)
             base = pl.multiple_of(base0 + ci * chunk, chunk)
             rd = pltpu.make_async_copy(
-                grad_ref.at[:, pl.ds(base, chunk)], chunk_buf, sem2
+                grad_ref.at[pl.ds(base, chunk), :], rmw_buf, sem2
             )
             rd.start()
             rd.wait()
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-            glane = ci * chunk + lane
-            mask = (glane >= offset) & (glane < offset + count)
-            chunk_buf[...] = chunk_buf[...] + jnp.where(mask, gbuf[...], 0.0)
+            row = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+            grow = ci * chunk + row
+            mask = (grow >= offset) & (grow < offset + count)
+            gt = jnp.transpose(gbuf[...])               # [chunk, D]
+            if g_out > gt.shape[1]:
+                # lane-pad to the DMA-aligned width (HBM slices must align
+                # to 128-lane tiles)
+                gt = jnp.concatenate(
+                    [gt, jnp.zeros((chunk, g_out - gt.shape[1]),
+                                   jnp.float32)], axis=1
+                )
+            rmw_buf[...] = rmw_buf[...] + jnp.where(mask, gt, 0.0)
             wr = pltpu.make_async_copy(
-                chunk_buf, grad_ref.at[:, pl.ds(base, chunk)], sem2
+                rmw_buf, grad_ref.at[pl.ds(base, chunk), :], sem2
             )
             wr.start()
             wr.wait()
@@ -256,7 +271,9 @@ def blend_tiles_bwd_raw(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Backward kernel over `n_tiles` consecutive tiles of a global grid ->
-    instance-major grads [G, NS]. Shard-level entry (parallel/raster.py);
+    instance-major grads [NS, ceil128(G)] (gradient components contiguous
+    per instance, lane-padded for DMA alignment — callers slice [:, :G]).
+    Shard-level entry (parallel/raster.py);
     blend_pallas_bwd_raw wraps with tile_base = 0."""
     T = n_tiles
     P = tile_w * tile_h
@@ -265,6 +282,7 @@ def blend_tiles_bwd_raw(
     c_out = n_feat + 3
     NS = data.shape[1]
     max_chunks = NS // chunk + 1
+    g_out = -(-D // 128) * 128   # HBM DMA slices must align to 128 lanes
 
     TB = 8
     while T % TB:
@@ -283,8 +301,9 @@ def blend_tiles_bwd_raw(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),  # grads stay in HBM
         scratch_shapes=[
-            pltpu.VMEM((D, chunk), jnp.float32),      # chunk_buf (data+RMW)
+            pltpu.VMEM((D, chunk), jnp.float32),      # chunk_buf (data)
             pltpu.VMEM((D, chunk), jnp.float32),      # gbuf (grad staging)
+            pltpu.VMEM((chunk, g_out), jnp.float32),  # rmw_buf ([NS, G] RMW)
             pltpu.VMEM((max_chunks, P), jnp.float32),  # per-chunk log T
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -293,13 +312,14 @@ def blend_tiles_bwd_raw(
     kernel = functools.partial(
         _blend_bwd_kernel, tile_w=tile_w, tile_h=tile_h, tiles_x=tiles_x,
         n_feat=n_feat, chunk=chunk, tiles_per_step=TB, max_chunks=max_chunks,
+        g_out=g_out,
     )
-    zeros = jnp.zeros((D, NS), jnp.float32)
+    zeros = jnp.zeros((NS, g_out), jnp.float32)
     # alias the zeros input to the output: the kernel accumulates into it
     # with read-modify-write DMAs (indices count scalar-prefetch args first)
     grads = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((D, NS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NS, g_out), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         input_output_aliases={5: 0},
@@ -321,7 +341,7 @@ def blend_pallas_bwd_raw(
     chunk: int = 2 * LANE,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Run the backward kernel -> instance-major grads [G, NS]."""
+    """Run the backward kernel -> instance-major grads [NS, G]."""
     tw = -(-width // tile_w)
     th = -(-height // tile_h)
     return blend_tiles_bwd_raw(
