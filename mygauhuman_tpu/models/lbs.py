@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from mygauhuman_tpu.models.smpl import (
@@ -43,7 +44,8 @@ def apply_correct_rs(rot_mats: jnp.ndarray, correct_Rs: jnp.ndarray | None) -> j
     """
     if correct_Rs is None:
         return rot_mats
-    corrected = rot_mats[1:] @ correct_Rs
+    corrected = jnp.matmul(rot_mats[1:], correct_Rs,
+                           precision=jax.lax.Precision.HIGHEST)
     return jnp.concatenate([rot_mats[:1], corrected], axis=0)
 
 
@@ -57,10 +59,17 @@ def transform_params(
 
     Parity: get_transform_params_torch (gaussian_model.py:966-997).
     """
+    # Position math runs at full-f32 matmul precision throughout this
+    # module: JAX's default TPU matmul precision is bf16, whose ~0.4%
+    # relative error moves projected Gaussians by ~1 px at 512^2 (measured
+    # 0.099 max color drift vs the f32 reference render). The FLOPs here
+    # are negligible, so HIGHEST costs nothing.
     v_shaped = model.v_template + jnp.einsum(
-        "vdb,b->vd", model.shapedirs, params["shapes"].reshape(-1)
+        "vdb,b->vd", model.shapedirs, params["shapes"].reshape(-1),
+        precision=jax.lax.Precision.HIGHEST,
     )
-    joints = model.j_regressor @ v_shaped
+    joints = jnp.matmul(model.j_regressor, v_shaped,
+                        precision=jax.lax.Precision.HIGHEST)
     if rot_mats is None:
         rot_mats = rodrigues(params["poses"].reshape(-1, 3))
         rot_mats = apply_correct_rs(rot_mats, correct_Rs)
@@ -73,7 +82,8 @@ def _pose_offsets(model: SMPLModel, rot_mats: jnp.ndarray) -> jnp.ndarray:
     """Per-vertex pose blendshape offsets [V,3] from (R - I) features."""
     ident = jnp.eye(3, dtype=rot_mats.dtype)
     feature = (rot_mats[1:] - ident).reshape(-1)  # [207]
-    return jnp.einsum("vdp,p->vd", model.posedirs, feature)
+    return jnp.einsum("vdp,p->vd", model.posedirs, feature,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def coarse_deform_c2source(
@@ -109,7 +119,8 @@ def coarse_deform_c2source(
     def blend_A(A):
         """[J,4,4] -> 12 components (r00,r01,r02,t0,...,t2), each [N]."""
         A_flat = A[:, :3, :].reshape(-1, 12)                  # [J, 12]
-        A_ptT = jnp.einsum("jk,nj->kn", A_flat, bweights)     # [12, N]
+        A_ptT = jnp.einsum("jk,nj->kn", A_flat, bweights,     # [12, N]
+                           precision=jax.lax.Precision.HIGHEST)
         return tuple(A_ptT[i] for i in range(12))
 
     def inv3x3_cols(a, b, c, d, e, f, g, h, i):
@@ -172,7 +183,8 @@ def coarse_deform_c2source(
     translation = tuple(ti - oi for ti, oi in zip(translation, po_big))
 
     shape_offset = vcols(jnp.einsum(
-        "vdb,b->vd", model.shapedirs, params["shapes"].reshape(-1)
+        "vdb,b->vd", model.shapedirs, params["shapes"].reshape(-1),
+        precision=jax.lax.Precision.HIGHEST,
     )[vert_ids])
     x = tuple(xi + oi for xi, oi in zip(x, shape_offset))
     translation = tuple(ti + oi for ti, oi in zip(translation, shape_offset))

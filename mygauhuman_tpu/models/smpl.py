@@ -14,6 +14,7 @@ from __future__ import annotations
 import pickle
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -157,10 +158,11 @@ def smpl_forward(
     Parity: smpl/smpl_numpy.py:46-98 — shape blendshapes, 207-dim lrotmin
     pose blendshapes, kinematic compose, LBS skinning.
     """
+    hi = jax.lax.Precision.HIGHEST
     v_shaped = model.v_template + jnp.einsum(
-        "vdb,b->vd", model.shapedirs, shapes
+        "vdb,b->vd", model.shapedirs, shapes, precision=hi
     )
-    J = model.j_regressor @ v_shaped  # [24, 3]
+    J = jnp.matmul(model.j_regressor, v_shaped, precision=hi)  # [24, 3]
 
     if poses.ndim == 1:
         rot_mats = rodrigues(poses.reshape(-1, 3))
@@ -168,13 +170,14 @@ def smpl_forward(
         rot_mats = poses
     ident = jnp.eye(3, dtype=v_shaped.dtype)
     lrotmin = (rot_mats[1:] - ident).reshape(-1)  # [(J-1)*9]
-    v_posed = v_shaped + jnp.einsum("vdp,p->vd", model.posedirs, lrotmin)
+    v_posed = v_shaped + jnp.einsum("vdp,p->vd", model.posedirs, lrotmin,
+                                    precision=hi)
 
     G = rigid_transform_chain(rot_mats, J, model.parents)
     A = remove_rest_joint_translation(G, J)
-    T = jnp.einsum("vj,jab->vab", model.weights, A)  # [V, 4, 4]
+    T = jnp.einsum("vj,jab->vab", model.weights, A, precision=hi)  # [V, 4, 4]
     v_h = jnp.concatenate([v_posed, jnp.ones_like(v_posed[:, :1])], axis=-1)
-    verts = jnp.einsum("vab,vb->va", T, v_h)[:, :3]
+    verts = jnp.einsum("vab,vb->va", T, v_h, precision=hi)[:, :3]
     joints = G[:, :3, 3]
     return verts, joints
 
@@ -195,7 +198,8 @@ def rigid_transform_chain(
     )  # [J, 4, 4]
     chain = [local[0]]
     for j in range(1, n_joints):
-        chain.append(chain[int(parents[j])] @ local[j])
+        chain.append(jnp.matmul(chain[int(parents[j])], local[j],
+                                precision=jax.lax.Precision.HIGHEST))
     return jnp.stack(chain, axis=0)
 
 
@@ -205,5 +209,6 @@ def remove_rest_joint_translation(G: jnp.ndarray, joints: jnp.ndarray) -> jnp.nd
     Parity: get_rigid_transformation_torch:946-951 / smpl_numpy.py:88-96.
     """
     j_h = jnp.concatenate([joints, jnp.zeros_like(joints[:, :1])], axis=-1)
-    posed = jnp.einsum("jab,jb->ja", G, j_h)  # [24, 4]
+    posed = jnp.einsum("jab,jb->ja", G, j_h,
+                       precision=jax.lax.Precision.HIGHEST)  # [24, 4]
     return G.at[:, :, 3].add(-posed)

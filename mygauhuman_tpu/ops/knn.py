@@ -19,10 +19,20 @@ import jax.numpy as jnp
 
 
 def _dist2_block(q: jnp.ndarray, refs: jnp.ndarray) -> jnp.ndarray:
-    """Squared euclidean distances [Qb, R] via one MXU matmul."""
+    """Squared euclidean distances [Qb, R] via one MXU matmul.
+
+    The cross term MUST be full-f32 (Precision.HIGHEST): JAX's default TPU
+    matmul precision is bf16, whose ~0.4% relative error dwarfs typical
+    nearest-neighbor d2 gaps — measured 26% WRONG nearest-vertex picks on
+    unit-normal clouds at default precision, 100% exact at HIGHEST. The
+    reference KNN_CUDA computes exact f32 distances (SURVEY.md §2.3)."""
     qn = jnp.sum(q * q, axis=-1, keepdims=True)          # [Qb, 1]
     rn = jnp.sum(refs * refs, axis=-1)[None, :]           # [1, R]
-    cross = q @ refs.T                                    # [Qb, R] (MXU)
+    cross = jax.lax.dot_general(                          # [Qb, R] (MXU)
+        q, refs,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
     d2 = qn + rn - 2.0 * cross
     return jnp.maximum(d2, 0.0)
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from mygauhuman_tpu.utils.transforms import covariance6_from_scaling_rotation
@@ -38,8 +39,10 @@ def ndc2pix(v: jnp.ndarray, size: int) -> jnp.ndarray:
 
 def project_points(means3d: jnp.ndarray, full_proj: jnp.ndarray) -> jnp.ndarray:
     """World points [N,3] through a 4x4 projection; returns NDC [N,3]."""
-    ph = means3d @ full_proj[:3, :3].T + full_proj[:3, 3]
-    pw = means3d @ full_proj[3, :3].T + full_proj[3, 3]
+    # full-f32 matmuls: the bf16 default moves projected points ~1 px
+    hi = jax.lax.Precision.HIGHEST
+    ph = jnp.matmul(means3d, full_proj[:3, :3].T, precision=hi) + full_proj[:3, 3]
+    pw = jnp.matmul(means3d, full_proj[3, :3].T, precision=hi) + full_proj[3, 3]
     return ph / (pw[..., None] + 1e-7)
 
 
@@ -67,7 +70,8 @@ def compute_cov2d(
     # Componentwise throughout: batched [N,2,3]/[N,3,3] dot_generals force
     # padded T(·,128) layouts (~1.9 ms/frame at 64k); elementwise chains over
     # [N] slices fuse into one VPU pass.
-    t = means3d @ w2c[:3, :3].T + w2c[:3, 3]
+    t = jnp.matmul(means3d, w2c[:3, :3].T,
+                   precision=jax.lax.Precision.HIGHEST) + w2c[:3, 3]
     tz = t[..., 2]
     limx = 1.3 * tan_fovx
     limy = 1.3 * tan_fovy
@@ -139,7 +143,8 @@ def preprocess(
     focal_x = image_width / (2.0 * tan_fovx)
     focal_y = image_height / (2.0 * tan_fovy)
 
-    p_view_z = means3d @ w2c[2, :3].T + w2c[2, 3]
+    p_view_z = jnp.matmul(means3d, w2c[2, :3].T,
+                          precision=jax.lax.Precision.HIGHEST) + w2c[2, 3]
     in_front = p_view_z > 0.2
 
     p_ndc = project_points(means3d, full_proj)
