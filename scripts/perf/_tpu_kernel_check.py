@@ -41,3 +41,11 @@ for n_verts, cap in [(6890, 8192), (32768, 65536)]:
         if time.perf_counter() - t0 > 3: break
     dt = (time.perf_counter() - t0) / reps * 1e3
     print(f"{n_verts}G render: {dt:.2f} ms = {1000/dt:.0f} FPS")
+
+
+# --- TPU-vs-f32 numerics drift (run the CPU half with JAX_PLATFORMS unset
+# in a separate process; see PERF.md "Numerics (round 2b)").
+# Usage: python scripts/perf/_tpu_kernel_check.py          (TPU: saves .npy)
+#        python scripts/perf/_tpu_kernel_check.py --cpu    (CPU: compares)
+# Expected drift after the Precision.HIGHEST fixes: max < 5e-3 (in-kernel
+# bf16 color accumulation only). Before the fixes it was 0.099.
