@@ -1,5 +1,8 @@
 """Sharded-raster code path on the real TPU (1-device mesh): compiled
 Pallas kernel + degenerate collectives; rays/s for the PERF table."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", "..")))
+
 import time
 import jax, jax.numpy as jnp, numpy as np
 from jax.sharding import Mesh

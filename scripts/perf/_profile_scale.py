@@ -4,6 +4,9 @@ Run on the real TPU:  nohup python _profile_scale.py > /tmp/prof_scale.log 2>&1 
 Marginal-cost staging (see memory: per-launch overhead ~1ms through the
 tunnel; jit stage prefixes and diff).
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", "..")))
+
 import time
 import jax
 import jax.numpy as jnp

@@ -201,6 +201,22 @@ def test_knn_vs_numpy_bruteforce():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_knn_index_exactness_dense_cloud():
+    """Nearest-vertex INDICES must match f64 brute force exactly.
+
+    Guards the formulation AND the matmul precision: at JAX's default TPU
+    matmul precision (bf16) the ||q||^2+||r||^2-2q.r cross term mis-picked
+    26% of nearest vertices on dense unit-normal clouds; the cross matmul
+    runs at Precision.HIGHEST (ops/knn.py::_dist2_block)."""
+    rng = np.random.default_rng(3)
+    q = rng.normal(size=(2048, 3)).astype(np.float32)
+    r = rng.normal(size=(997, 3)).astype(np.float32)
+    _, idx = knn(jnp.asarray(q), jnp.asarray(r), k=1)
+    D = ((q.astype(np.float64)[:, None] - r.astype(np.float64)[None]) ** 2).sum(-1)
+    ref_idx = np.argmin(D, axis=1)
+    assert np.mean(np.asarray(idx)[:, 0] == ref_idx) > 0.999
+
+
 def test_knn_exclude_self_and_mask():
     pts = jnp.asarray(np.random.default_rng(10).normal(size=(50, 3)), jnp.float32)
     d2, idx = knn(pts, pts, k=1, exclude_self=True)
