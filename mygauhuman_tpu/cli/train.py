@@ -182,7 +182,13 @@ def main(argv=None) -> dict:
         smpl_vertices = jnp.asarray(
             info.train_cameras[0].big_pose_world_vertex
         )
-        raster_cfg = RasterizerConfig(use_pallas=use_pallas)
+        # Same instance-list sizing as the synthetic branch: 4 slots per
+        # capacity slot (real frames peak ~4 instances per alive Gaussian);
+        # without a cap the sort/gather/backward pay the N*S worst case.
+        raster_cfg = RasterizerConfig(
+            use_pallas=use_pallas,
+            instance_capacity=4 * state.capacity,
+        )
 
     key = jax.random.PRNGKey(args.seed)
     n_joints = smpl_model.j_regressor.shape[0]
