@@ -84,6 +84,14 @@ def main(argv=None) -> dict:
 
     ply_path = os.path.join(args.model_path, f"point_cloud_{it}.ply")
     state = load_ply(ply_path)
+    # Serving-time repack: drop the training headroom (sort/preprocess cost
+    # scales with capacity, alive or dead — the reference renders exactly
+    # N) and size the compacted instance list accordingly.
+    from mygauhuman_tpu.models.gaussians import compact_state
+    state = compact_state(state)
+    raster_cfg = raster_cfg._replace(
+        instance_capacity=4 * state.capacity
+    )
 
     cache = None
     cache_path = os.path.join(args.model_path, f"smpl_rot_{it}.npz")
@@ -123,13 +131,21 @@ def main(argv=None) -> dict:
         ck = str(pose_ids[bi]) if str(pose_ids[bi]) in (cache or {}) \
             else str(bi)
         if cache is not None and ck in cache:
+            # cached rows are in alive-compacted (PLY) order; pad dead
+            # slots with zeros (masked by `alive` in preprocess) or slice
+            # legacy full-capacity caches
             cap = state.capacity
-            kwargs["transforms"] = jnp.asarray(
-                cache[ck]["transforms"][:cap]
-            )
-            kwargs["translation"] = jnp.asarray(
-                cache[ck]["translation"][:cap]
-            )
+
+            def fit(a):
+                a = np.asarray(a)
+                if a.shape[0] >= cap:
+                    return jnp.asarray(a[:cap])
+                out_a = np.zeros((cap,) + a.shape[1:], a.dtype)
+                out_a[:a.shape[0]] = a
+                return jnp.asarray(out_a)
+
+            kwargs["transforms"] = fit(cache[ck]["transforms"])
+            kwargs["translation"] = fit(cache[ck]["translation"])
         out = render_frame(
             state, batch.camera, batch.frame, smpl_model,
             bg=bg, active_sh_degree=3, config=raster_cfg, **kwargs,

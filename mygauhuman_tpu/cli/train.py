@@ -324,10 +324,16 @@ def main(argv=None) -> dict:
                     rows[k].append(float(v))
                 if split == "test":
                     # keyed by pose_id (reference keys smpl_rot by pose,
-                    # train.py:548-552) so replay survives reordering
+                    # train.py:548-552) so replay survives reordering.
+                    # Rows are gathered into ALIVE-compacted order — the
+                    # same order save_ply writes — so the replay stays
+                    # aligned with a load_ply/compact_state'd state even
+                    # when pruning left holes in the slot space.
+                    alive_idx = np.nonzero(
+                        np.asarray(jax.device_get(ts.gauss.alive)))[0]
                     eval_cache[str(pose_id)] = {
-                        "transforms": np.asarray(out.transforms),
-                        "translation": np.asarray(out.translation),
+                        "transforms": np.asarray(out.transforms)[alive_idx],
+                        "translation": np.asarray(out.translation)[alive_idx],
                     }
                 if not args.skip_galleries:
                     pair = np.concatenate(

@@ -267,6 +267,49 @@ def grow_capacity(state: GaussianState, new_capacity: int) -> GaussianState:
     return rest._replace(params=params)
 
 
+def compact_state(state: GaussianState, capacity: int | None = None,
+                  multiple: int = 256) -> GaussianState:
+    """Repack alive Gaussians into a tight capacity (outside jit).
+
+    Training runs with headroom capacity for densification, but rendering
+    pays sort/preprocess/binning cost per CAPACITY slot, dead or alive —
+    the reference renders exactly its N Gaussians. Call this once after
+    loading a checkpoint for eval/serving: alive rows move to the front,
+    capacity shrinks to the next `multiple` (or the given value), and dead
+    slots get the same safe fills as create_from_pcd/grow_capacity.
+    """
+    alive = np.asarray(jax.device_get(state.alive))
+    idx = np.nonzero(alive)[0]
+    n = int(idx.size)
+    cap = capacity or max(multiple, -(-n // multiple) * multiple)
+    assert cap >= n, (cap, n)
+
+    fills = {"scaling": -10.0, "opacity": -10.0}
+
+    def take(x, name=""):
+        x = np.asarray(jax.device_get(x))
+        if x.ndim == 0 or x.shape[0] != state.capacity:
+            return jnp.asarray(x)
+        out = np.full((cap,) + x.shape[1:], fills.get(name, 0.0), x.dtype)
+        out[:n] = x[idx]
+        if name == "rotation":
+            out[n:, 0] = 1.0   # unit quaternion in dead slots
+        return jnp.asarray(out)
+
+    params = GaussianParams(
+        **{f: take(getattr(state.params, f), f)
+           for f in GaussianParams._fields}
+    )
+    return GaussianState(
+        params=params,
+        alive=jnp.arange(cap) < n,
+        smpl_normal=take(state.smpl_normal),
+        xyz_grad_accum=take(state.xyz_grad_accum),
+        denom=take(state.denom),
+        max_radii2d=take(state.max_radii2d),
+    )
+
+
 # ----------------------------------------------------------------------------
 # Densification statistics (reference add_densification_stats, :764-766)
 # ----------------------------------------------------------------------------

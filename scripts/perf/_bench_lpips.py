@@ -1,4 +1,7 @@
 """LPIPS micro-bench: fwd and fwd+bwd at the training crop size."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", "..")))
+
 import time
 import jax, jax.numpy as jnp
 from mygauhuman_tpu.utils.compile_cache import enable_persistent_cache

@@ -1,4 +1,7 @@
 """Measure LPIPS fwd+bwd variants at the train-step shape (384^2, 2 pairs)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", "..")))
+
 import time
 
 import jax

@@ -1,4 +1,7 @@
 """Branch-B (PBR) step time + bake_occlusion time on the TPU, 512^2."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", "..")))
+
 import time
 import jax, jax.numpy as jnp, numpy as np
 from mygauhuman_tpu.config import OptimizationConfig

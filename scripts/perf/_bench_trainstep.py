@@ -1,5 +1,8 @@
 """Branch-A train step time with/without LPIPS at the honest operating
 point (6,890 G, cap 8,192, 512^2)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", "..")))
+
 import time
 import jax, jax.numpy as jnp
 from mygauhuman_tpu.utils.compile_cache import enable_persistent_cache

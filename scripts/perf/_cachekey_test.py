@@ -1,3 +1,6 @@
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", "..")))
+
 import sys, jax, jax.numpy as jnp
 from mygauhuman_tpu.utils.compile_cache import enable_persistent_cache
 enable_persistent_cache("/tmp/cachekey_test")

@@ -1,4 +1,7 @@
 """Raw costs: big sort vs scatter-compaction alternatives at 32k/cap64k."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", "..")))
+
 import time, jax, jax.numpy as jnp, numpy as np
 
 def bench(fn, args, label):

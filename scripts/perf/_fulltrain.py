@@ -1,5 +1,8 @@
 """VERDICT r1 #4: the complete ZJU-budget training run, measured end-to-end
 (compile + densify + LPIPS + eval + checkpoint) through cli/train.py."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", "..")))
+
 import time
 t0 = time.time()
 def tick(msg):

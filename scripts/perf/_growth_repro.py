@@ -1,3 +1,6 @@
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", "..")))
+
 import jax; jax.config.update("jax_platforms", "cpu")
 import numpy as np, jax.numpy as jnp
 from mygauhuman_tpu.config import OptimizationConfig

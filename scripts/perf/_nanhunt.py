@@ -1,3 +1,6 @@
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", "..")))
+
 import numpy as np, jax, jax.numpy as jnp, pickle
 from mygauhuman_tpu.config import OptimizationConfig
 from mygauhuman_tpu.data.synthetic import make_synthetic_scene

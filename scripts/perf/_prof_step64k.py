@@ -3,6 +3,9 @@
 Measures: full step +lpips, full step -lpips, lpips fwd+bwd alone,
 render fwd alone, binning alone — on the real TPU.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", "..")))
+
 import time
 import jax, jax.numpy as jnp
 from mygauhuman_tpu.utils.compile_cache import enable_persistent_cache

@@ -1,3 +1,6 @@
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", "..")))
+
 import jax, jax.numpy as jnp, numpy as np, glob, gzip, json, collections
 from mygauhuman_tpu.data.synthetic import make_synthetic_scene
 from mygauhuman_tpu.ops.rasterize import RasterizerConfig

@@ -1,4 +1,7 @@
 """Op-level trace of the LPIPS fwd+bwd at the train-step shape (384^2, 2 pairs)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", "..")))
+
 import collections
 import glob
 import gzip

@@ -1,3 +1,6 @@
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", "..")))
+
 import glob, gzip, json
 from collections import defaultdict
 paths = glob.glob("/tmp/trace_scale/**/*.trace.json.gz", recursive=True)

@@ -1,4 +1,7 @@
 """jax.profiler trace of the full replay render at 32k G; parse per-op times."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", "..")))
+
 import glob, gzip, json, os, time
 import jax, jax.numpy as jnp, numpy as np
 from mygauhuman_tpu.ops.rasterize import RasterizerConfig
