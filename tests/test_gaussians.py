@@ -54,6 +54,53 @@ class TestInit:
             np.asarray(s2.params.xyz[:1024]), np.asarray(s.params.xyz)
         )
 
+    def test_compact_state_render_invariant(self):
+        """Compaction with HOLES in the slot space (pruned interior slots)
+        must not change the rendered image — guards the serving-time repack
+        and the alive-order alignment contract shared with save_ply and the
+        eval replay cache."""
+        from mygauhuman_tpu.ops.rasterize import RasterizerConfig, rasterize
+        from mygauhuman_tpu.utils.transforms import (
+            covariance6_from_scaling_rotation,
+        )
+
+        s = make_state(100)
+        # punch interior holes like a prune event would
+        alive = np.array(s.alive)
+        alive[[3, 17, 42, 77]] = False
+        s = s._replace(alive=jnp.asarray(alive))
+        c = G.compact_state(s, multiple=64)
+        assert c.capacity == 128
+        assert int(c.num_alive) == 96
+        # alive rows preserved in slot order
+        idx = np.nonzero(alive)[0]
+        np.testing.assert_array_equal(
+            np.asarray(c.params.xyz[:96]), np.asarray(s.params.xyz)[idx]
+        )
+
+        cam_w2c = jnp.eye(4).at[2, 3].set(4.0)
+        proj = jnp.asarray(
+            [[1.2, 0, 0, 0], [0, 1.2, 0, 0], [0, 0, 1.01, -0.0101],
+             [0, 0, 1, 0]]
+        ) @ cam_w2c
+        cfg = RasterizerConfig(tile_capacity=128, chunk_tiles=4)
+
+        def render(st):
+            p = st.params
+            cov6 = covariance6_from_scaling_rotation(
+                G.get_scaling(p), G.get_rotation(p)
+            )
+            return rasterize(
+                p.xyz, cov6, G.get_opacity(p)[:, 0],
+                jnp.clip(p.features_dc[:, 0] + 0.5, 0), cam_w2c, proj,
+                jnp.zeros(3), width=64, height=64, tan_fovx=0.83,
+                tan_fovy=0.83, config=cfg, alive=st.alive,
+            ).image
+
+        np.testing.assert_allclose(
+            np.asarray(render(c)), np.asarray(render(s)), atol=1e-6
+        )
+
 
 class TestDensify:
     def test_clone_selexcts_small_high_grad(self):
