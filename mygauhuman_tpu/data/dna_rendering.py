@@ -163,7 +163,7 @@ def read_dna_rendering_info(
 ) -> SceneInfo:
     if smplx_model is None:
         reader = SMCReader(path)
-        gender = reader.actor_info.get("gender", "neutral")
+        gender = (reader.actor_info or {}).get("gender", "neutral")
         smplx_model = load_smplx(smplx_model_path, gender=gender)
 
     train_view = [i for i in range(48) if i not in [12, 30]]

@@ -245,6 +245,8 @@ class TestSMC:
         with h5py.File(path, "w") as f:
             f.attrs["gender"] = "neutral"
             f.attrs["actor_id"] = 1
+            f.attrs["performance_id"] = 2
+            f.attrs["ethnicity"] = "x"
             for cid in range(n_cams):
                 g = f.create_group(f"Camera_5mp/{cid}/color")
                 for fr in range(n_frames):
@@ -267,7 +269,11 @@ class TestSMC:
             sx.create_dataset("betas", data=np.zeros((1, 10)))
             sx.create_dataset("expression", data=np.zeros((n_frames, 10)))
             sx.create_dataset("fullpose", data=np.zeros((n_frames, 55, 3)))
-            sx.create_dataset("transl", data=np.zeros((n_frames, 3)))
+            transl = np.arange(n_frames * 3, dtype=np.float64).reshape(
+                n_frames, 3
+            )
+            sx.create_dataset("transl", data=transl)
+            sx.create_dataset("scale", data=np.float64(1.0))
 
     def test_smc_reader(self, tmp_path):
         from mygauhuman_tpu.data.smc_reader import SMCReader
@@ -282,7 +288,41 @@ class TestSMC:
         assert calib["K"].shape == (3, 3)
         sm = r.get_SMPLx(Frame_id=0)
         assert sm["fullpose"].shape == (55, 3)
+        assert float(sm["scale"]) == 1.0
         assert r.get_frame_count() == 3
+
+    def test_smc_reader_layout_parity(self, tmp_path):
+        """Reference-schema surface: actor_info keys (SMCReader.py:25-34),
+        list/None Frame_id, time-ordered batch reads, calibration cache."""
+        from mygauhuman_tpu.data.smc_reader import SMCReader
+
+        p = str(tmp_path / "actor_annots.smc")
+        self.make_smc(p, n_frames=12)  # >9 frames: '10' must follow '9'
+        r = SMCReader(p)
+        assert r.get_actor_info() == {
+            "id": 1, "perf_id": 2, "gender": "neutral", "ethnicity": "x"
+        }
+        assert "SMPLx" in r.get_available_keys()
+        # list Frame_id -> stacked batch; None -> all frames in time order
+        batch = r.get_img("Camera_5mp", 0, "color", Frame_id=[0, 5])
+        assert batch.shape == (2, IMG, IMG, 3)
+        masks = r.get_mask(0)
+        assert masks.shape == (12, IMG, IMG)
+        sm = r.get_SMPLx()  # every per-frame key indexed [frame_list, ...]
+        assert sm["fullpose"].shape == (12, 55, 3)
+        np.testing.assert_array_equal(
+            sm["transl"][10], np.arange(30, 33, dtype=np.float64)
+        )
+        sm10 = r.get_SMPLx(Frame_id=10)
+        np.testing.assert_array_equal(sm10["transl"], sm["transl"][10])
+        assert sm10["betas"].shape == (10,)  # single-row export broadcasts
+        calib = r.get_Calibration_all()
+        assert set(calib) == {"0", "1"}
+        assert calib["0"]["RT"].shape == (4, 4)
+        assert calib["0"]["Color_Calibration"] is None  # absent -> None
+        assert r.get_camera_ids() == ["0", "1"]
+        r.release()
+        assert r.smc is None
 
     def test_dna_reader_with_synthetic_smplx(self, tmp_path):
         from mygauhuman_tpu.data.dna_rendering import read_cameras_dna_rendering
