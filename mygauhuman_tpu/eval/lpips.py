@@ -94,18 +94,70 @@ def _conv(x, p):
     ) + p["b"].astype(x.dtype)
 
 
-def _features(params: LPIPSParams, x: jnp.ndarray) -> list:
+_STAGE_STARTS = [0, 2, 4, 7, 10]
+
+
+def _run_convs_strips(x, convs, n_strips: int):
+    """Run consecutive 3x3-SAME convs (+relu) via halo'd H-strips.
+
+    Manual space-to-batch: [N, H, W, C] -> [N*n_strips, H/n_strips + 2*halo,
+    W, C] where halo = number of chained convs, each conv VALID-in-H against
+    the pre-padded halo (zero image borders via jnp.pad == SAME). Numerically
+    EXACT vs the SAME-conv chain. Purpose: inside a large jitted module XLA
+    stops space-to-batch-splitting the early VGG stages on its own (the
+    [2, 384, 384, 64] batch-tiled layouts run 3-4x slower than the spatial-
+    split form it picks standalone) — splitting by hand pins the fast form.
+    """
+    n, H, W, cin = x.shape
+    h = len(convs)
+    s = H // n_strips
+    xp = jnp.pad(x, ((0, 0), (h, h), (0, 0), (0, 0)))
+    rows = (
+        jnp.arange(n_strips, dtype=jnp.int32)[:, None] * s
+        + jnp.arange(s + 2 * h, dtype=jnp.int32)[None, :]
+    )
+    strips = xp[:, rows]                       # [n, n_strips, s+2h, W, C]
+    strips = strips.reshape(n * n_strips, s + 2 * h, W, cin)
+    for j, p in enumerate(convs):
+        strips = jax.lax.conv_general_dilated(
+            strips, p["w"].astype(strips.dtype), (1, 1),
+            ((0, 0), (1, 1)),                  # VALID in H (halo), SAME in W
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + p["b"].astype(strips.dtype)
+        strips = jax.nn.relu(strips)
+        rem = h - (j + 1)                      # halo rows still carried
+        if rem > 0:
+            # SAME re-pads with zeros at EVERY conv: halo rows that fall
+            # outside the image must be zeroed before the next conv (they
+            # now hold relu(bias)-contaminated values, not zeros).
+            rows_g = (
+                jnp.arange(n_strips, dtype=jnp.int32)[:, None] * s - rem
+                + jnp.arange(s + 2 * rem, dtype=jnp.int32)[None, :]
+            )
+            ok = jnp.tile((rows_g >= 0) & (rows_g < H), (n, 1))
+            strips = jnp.where(ok[:, :, None, None], strips, 0)
+    return strips.reshape(n, n_strips * s, W, -1)
+
+
+def _features(
+    params: LPIPSParams, x: jnp.ndarray,
+    strips: tuple = (16, 8, 0, 0, 0),
+) -> list:
     """x: [N, H, W, 3] in [0, 1] -> list of 5 stage activations.
 
     The VGG trunk runs in bf16 (the MXU's native rate, half the HBM traffic
     of fp32); stage activations are returned as f32 for the unit-normalize /
     distance math. A perceptual distance tolerates bf16 features.
+
+    strips[i] > 1 routes stage i through `_run_convs_strips` (exact); 0
+    keeps the plain SAME-conv chain. Defaults split the two high-resolution
+    stages, where the layout regression lives.
     """
     x = x * 2.0 - 1.0                                   # lpips takes [-1, 1]
     x = ((x - _SHIFT) / _SCALE).astype(jnp.bfloat16)
     feats = []
-    for i, (p, (_, pool)) in enumerate(zip(params.convs, _VGG_PLAN)):
-        if pool:
+    for si, (start, end) in enumerate(zip(_STAGE_STARTS, _STAGE_ENDS)):
+        if si > 0:
             # reduce_window maxpool. (A reshape+max formulation was measured
             # SLOWER here despite its simpler VJP — 11.3 vs 9.6 ms for the
             # train-step-shaped fwd+bwd — XLA's select-and-scatter lowering
@@ -114,14 +166,21 @@ def _features(params: LPIPSParams, x: jnp.ndarray) -> list:
                 x, x.dtype.type(-jnp.inf), jax.lax.max,
                 (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
             )
-        x = jax.nn.relu(_conv(x, p))
-        if i in _STAGE_ENDS:
-            feats.append(x.astype(jnp.float32))
+        convs = params.convs[start:end + 1]
+        ns = strips[si] if si < len(strips) else 0
+        H = x.shape[1]
+        if ns > 1 and H % ns == 0 and H // ns >= len(convs):
+            x = _run_convs_strips(x, convs, ns)
+        else:
+            for p in convs:
+                x = jax.nn.relu(_conv(x, p))
+        feats.append(x.astype(jnp.float32))
     return feats
 
 
 def lpips_distance(
-    params: LPIPSParams, img1: jnp.ndarray, img2: jnp.ndarray
+    params: LPIPSParams, img1: jnp.ndarray, img2: jnp.ndarray,
+    strips: tuple = (16, 8, 0, 0, 0),
 ) -> jnp.ndarray:
     """img: [H, W, 3] or [N, H, W, 3] in [0, 1] -> scalar (or [N])."""
     squeeze = img1.ndim == 3
@@ -131,8 +190,8 @@ def lpips_distance(
     # (the GT crop), so AD builds the backward only for img1's trunk.
     # Concatenating would drag the constant half through the backward convs
     # (measured 2x slower at the train-step shape).
-    f1 = _features(params, img1)
-    f2 = _features(params, img2)
+    f1 = _features(params, img1, strips=strips)
+    f2 = _features(params, img2, strips=strips)
     total = 0.0
     for a, b, lin in zip(f1, f2, params.lins):
         a = a * jax.lax.rsqrt(jnp.sum(a * a, axis=-1, keepdims=True) + 1e-10)

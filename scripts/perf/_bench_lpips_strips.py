@@ -1,0 +1,55 @@
+"""A/B: train step (+lpips) with plain SAME convs vs halo'd strip convs.
+
+The LPIPS layout regression lives only INSIDE the big train-step module
+(standalone lpips is fast either way), so the A/B must bench the full step.
+"""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", "..")))
+
+import functools
+import time
+
+import jax, jax.numpy as jnp
+from mygauhuman_tpu.utils.compile_cache import enable_persistent_cache
+enable_persistent_cache()
+from mygauhuman_tpu.config import OptimizationConfig
+from mygauhuman_tpu.data.synthetic import make_synthetic_scene
+from mygauhuman_tpu.eval import lpips as L
+from mygauhuman_tpu.models.mlps import init_lbs_offset, init_pose_refiner
+from mygauhuman_tpu.ops.rasterize import RasterizerConfig
+from mygauhuman_tpu.train.trainer import create_train_state, make_train_step
+
+CAP = 65536
+rc = RasterizerConfig(use_pallas=True, instance_capacity=8 * CAP)
+scene = make_synthetic_scene(n_views=4, width=512, height=512, n_verts=40000,
+                             capacity=CAP, raster_config=rc)
+cfg = OptimizationConfig()
+ts, tx = create_train_state(cfg, scene.init_state,
+                            init_pose_refiner(jax.random.PRNGKey(0)),
+                            init_lbs_offset(jax.random.PRNGKey(1)))
+b = scene.batches[0]
+params = L.init_lpips()
+
+
+def bench(step, label):
+    ts2, m = step(ts, b, 0)
+    jax.block_until_ready(m["loss"])
+    start = time.perf_counter(); reps = 0
+    while True:
+        for _ in range(32):
+            ts2, m = step(ts2, b, 0); reps += 1
+        jax.block_until_ready(m["loss"])
+        if time.perf_counter() - start > 3.0: break
+    dt = (time.perf_counter() - start) / reps * 1e3
+    print(f"{label}: {dt:.2f} ms/step", flush=True)
+
+
+for strips, label in [
+    ((0, 0, 0, 0, 0), "plain SAME convs"),
+    ((16, 8, 0, 0, 0), "strips (16, 8)"),
+    ((8, 4, 0, 0, 0), "strips (8, 4)"),
+]:
+    fn = functools.partial(L.lpips_distance, params, strips=strips)
+    bench(make_train_step(scene.smpl_model, tx, cfg, rc, bg=jnp.zeros(3),
+                          lpips_fn=fn),
+          f"train step +lpips [{label}]")

@@ -42,6 +42,20 @@ class TestLPIPS:
         )(jnp.full((16, 16, 3), 0.5))
         assert bool(jnp.any(g != 0)) and bool(jnp.all(jnp.isfinite(g)))
 
+    def test_strip_convs_exact(self):
+        """The halo'd strip-conv space-to-batch path (the in-train-step
+        layout fix) is bitwise-identical to the plain SAME-conv chain,
+        including the zero-re-padding at image borders between convs."""
+        from mygauhuman_tpu.eval.lpips import _features
+
+        params = init_lpips()
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+        plain = _features(params, x, strips=(0, 0, 0, 0, 0))
+        strip = _features(params, x, strips=(16, 8, 0, 0, 0))
+        for i, (a, b) in enumerate(zip(plain, strip)):
+            assert float(jnp.abs(a - b).max()) == 0.0, f"stage {i}"
+
 
 class TestMetrics:
     def test_evaluate_images(self):
