@@ -70,6 +70,58 @@ def gaussian_tile_rects(
     return min_x, min_y, max_x, max_y
 
 
+def _tile_counts_geometric(
+    min_x: jnp.ndarray,      # [N] i32 rect min tile x
+    min_y: jnp.ndarray,      # [N]
+    rw: jnp.ndarray,         # [N] rect width in tiles
+    touched: jnp.ndarray,    # [N] rw * rh
+    live: jnp.ndarray,       # [N] bool
+    S: int,
+    tw: int,
+    th: int,
+) -> jnp.ndarray:
+    """Exact per-tile instance counts [th*tw] i32, computed from the rect
+    geometry instead of searchsorted over the sorted key array.
+
+    The slot enumeration in bin_gaussians emits, per live Gaussian,
+    m = min(touched, S) instances in row-major rect order: q = m // rw full
+    rows plus a partial row of rem = m % rw. Each is a box on the tile grid;
+    boxes become +-1 corner updates (2D inclusion-exclusion), accumulated
+    with two small one-hot matmuls (MXU) and integrated by a 2D prefix sum.
+    Cost is O(N) VPU + a [th+2, 8N] x [8N, tw+2] contraction — measured ~20x
+    cheaper than the log2(N*S)-step searchsorted while-loops it replaces
+    (540 us/frame at 512^2 / 8k capacity on v5e).
+    """
+    n = min_x.shape[0]
+    rw_s = jnp.maximum(rw, 1)
+    m = jnp.minimum(touched, S)
+    q = m // rw_s
+    rem = m % rw_s
+    lv = live.astype(jnp.float32)
+
+    y0, y1 = min_y, min_y + q
+    y2 = y1 + 1
+    x0, x1 = min_x, min_x + rw
+    xr = min_x + rem
+    # full-rows box [y0,y1) x [x0,x1), partial row [y1,y2) x [x0,xr);
+    # degenerate boxes (q == 0 / rem == 0) cancel corner-wise on their own
+    ys = jnp.stack([y0, y0, y1, y1, y1, y1, y2, y2], axis=1)   # [N, 8]
+    xs = jnp.stack([x0, x1, x0, x1, x0, xr, x0, xr], axis=1)
+    ws = jnp.array([1, -1, -1, 1, 1, -1, -1, 1], jnp.float32)[None, :] * lv[:, None]
+
+    gy = jnp.arange(th + 2, dtype=jnp.int32)
+    gx = jnp.arange(tw + 2, dtype=jnp.int32)
+    oh_y = (ys.reshape(-1)[:, None] == gy[None, :]).astype(jnp.float32)
+    oh_x = (xs.reshape(-1)[:, None] == gx[None, :]).astype(jnp.float32)
+    grid = jax.lax.dot_general(
+        oh_y * ws.reshape(-1)[:, None], oh_x,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                          # [th+2, tw+2]
+    counts2d = jnp.cumsum(jnp.cumsum(grid, axis=0), axis=1)
+    return jnp.round(counts2d[:th, :tw]).astype(jnp.int32).reshape(th * tw)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -144,6 +196,20 @@ def bin_gaussians(
     # TPU than the lexicographic (tile, f32) 2-key sort. Keys are unique
     # (each gaussian has a unique depth rank and appears at most once per
     # tile), so the sorts can be unstable.
+    # Per-tile counts/starts come from the rect geometry (no searchsorted
+    # over the sorted array — those lowered to log2(N*S)-step while-loops of
+    # 1-D gathers, 540 us/frame at 512^2): counts are exact by construction
+    # of the slot enumeration above, starts are their exclusive prefix sum.
+    counts = _tile_counts_geometric(
+        min_x, min_y, rw, touched, live, S, tw, th
+    )
+    bounds = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+    )
+    starts = bounds[:T]
+    ends = bounds[1:]
+    total_live = bounds[T]
+
     rank_radix = 1
     while rank_radix < N:
         rank_radix *= 2
@@ -158,13 +224,6 @@ def bin_gaussians(
         sorted_key, sorted_gid = jax.lax.sort(
             (key, flat_gid), num_keys=1, is_stable=False
         )
-        tiles = jnp.arange(T, dtype=jnp.int32)
-        starts = jnp.searchsorted(
-            sorted_key, tiles * rank_radix, side="left"
-        ).astype(jnp.int32)
-        ends = jnp.searchsorted(
-            sorted_key, (tiles + 1) * rank_radix, side="left"
-        ).astype(jnp.int32)
         sorted_tile = sorted_key // rank_radix
         I = N * S
         if instance_capacity is not None and instance_capacity < N * S:
@@ -173,9 +232,6 @@ def bin_gaussians(
             # and downstream gather/blend work scales with I, not N*S. The
             # deepest global tail is what a too-small I drops (and counts).
             I = instance_capacity
-            total_live = jnp.searchsorted(
-                sorted_key, jnp.int32(T) * rank_radix, side="left"
-            ).astype(jnp.int32)
             overflow_inst = jnp.maximum(total_live - I, 0)
             sorted_gid = sorted_gid[:I]
             sorted_tile = sorted_tile[:I]
@@ -190,13 +246,6 @@ def bin_gaussians(
             (flat_tile, flat_depth, flat_gid), num_keys=2
         )
         sorted_tile = sorted_tile.astype(jnp.int32)
-        tiles = jnp.arange(T, dtype=jnp.int32)
-        starts = jnp.searchsorted(
-            sorted_tile, tiles, side="left"
-        ).astype(jnp.int32)
-        ends = jnp.searchsorted(
-            sorted_tile, tiles, side="right"
-        ).astype(jnp.int32)
     counts = ends - starts
 
     k = jnp.arange(K, dtype=jnp.int32)[None, :]                     # [1, K]

@@ -117,6 +117,74 @@ def _lane_cumsum(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def _accumulate_tile(
+    data_ref, chunk_buf, sem,
+    start, count, px, py,
+    *,
+    n_feat: int,
+    chunk: int,
+):
+    """Front-to-back blend of one tile's instance slice: returns
+    (acc [2 + n_feat, P] = [d_sum; w_sum; features], final_t [P, 1]).
+    Empty tiles (count == 0) cost one trip-count check and return the
+    background state (zeros, final_t = 1)."""
+    P = px.shape[0]
+    base0 = (start // chunk) * chunk
+    offset = start - base0
+    n_chunks = pl.cdiv(offset + count, chunk)
+
+    def body(ci, carry):
+        acc, log_t = carry
+        base = pl.multiple_of(base0 + ci * chunk, chunk)
+        dma = pltpu.make_async_copy(
+            data_ref.at[:, pl.ds(base, chunk)], chunk_buf, sem
+        )
+        dma.start()
+        dma.wait()
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        glane = ci * chunk + lane
+        in_range = (
+            (glane >= offset) & (glane < offset + count)
+        ).astype(jnp.float32)
+
+        xy_x = chunk_buf[0:1, :]
+        xy_y = chunk_buf[1:2, :]
+        cxx = chunk_buf[2:3, :]
+        cxy = chunk_buf[3:4, :]
+        cyy = chunk_buf[4:5, :]
+        op = chunk_buf[5:6, :]
+
+        dx = xy_x - px
+        dy = xy_y - py
+        power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
+        alpha = jnp.minimum(0.99, op * jnp.exp(power))
+        ok = (power <= 0.0) & (alpha >= 1.0 / 255.0)
+        a = jnp.where(ok, alpha, 0.0) * in_range
+
+        l1ma = jnp.log1p(-a)
+        cum = _lane_cumsum(l1ma) + log_t
+        t_after = jnp.exp(cum)
+        t_before = jnp.exp(cum - l1ma)
+        include = (a > 0.0) & (t_after >= 1e-4)
+        w = jnp.where(include, a * t_before, 0.0)
+
+        # rows [depth, ONES, feat...] x w -> [2 + nf, P]: depth sum,
+        # weight sum and color accumulation in ONE MXU contraction
+        acc = acc + jax.lax.dot_general(
+            chunk_buf[HDR - 2:, :], w,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        log_t = log_t + jnp.sum(jnp.where(include, l1ma, 0.0), axis=1,
+                                keepdims=True)
+        return acc, log_t
+
+    acc0 = jnp.zeros((2 + n_feat, P), jnp.float32)
+    zero1 = jnp.zeros((P, 1), jnp.float32)
+    acc, log_t = jax.lax.fori_loop(0, n_chunks, body, (acc0, zero1))
+    return acc, jnp.exp(log_t)
+
+
 def _blend_kernel(
     starts_ref, counts_ref, tile_base_ref,   # scalar prefetch
     data_ref,                     # [D, NS] in ANY/HBM
@@ -128,6 +196,7 @@ def _blend_kernel(
     tile_h: int,
     tiles_x: int,
     n_feat: int,
+    n_real: int,
     chunk: int,
     tiles_per_step: int,
 ):
@@ -159,71 +228,28 @@ def _blend_kernel(
             _blend_nonempty(ti, t, start, count)
 
     def _blend_nonempty(ti, t, start, count):
-        base0 = (start // chunk) * chunk
-        offset = start - base0
-        n_chunks = pl.cdiv(offset + count, chunk)
         tg = tile_base_ref[0] + t
         x0 = ((tg % tiles_x) * tile_w).astype(jnp.float32)
         y0 = ((tg // tiles_x) * tile_h).astype(jnp.float32)
         px = x0 + pix_x
         py = y0 + pix_y
 
-        def body(ci, carry):
-            acc, log_t = carry
-            base = pl.multiple_of(base0 + ci * chunk, chunk)
-            dma = pltpu.make_async_copy(
-                data_ref.at[:, pl.ds(base, chunk)], chunk_buf, sem
-            )
-            dma.start()
-            dma.wait()
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-            glane = ci * chunk + lane
-            in_range = (
-                (glane >= offset) & (glane < offset + count)
-            ).astype(jnp.float32)
-
-            xy_x = chunk_buf[0:1, :]
-            xy_y = chunk_buf[1:2, :]
-            cxx = chunk_buf[2:3, :]
-            cxy = chunk_buf[3:4, :]
-            cyy = chunk_buf[4:5, :]
-            op = chunk_buf[5:6, :]
-
-            dx = xy_x - px
-            dy = xy_y - py
-            power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
-            alpha = jnp.minimum(0.99, op * jnp.exp(power))
-            ok = (power <= 0.0) & (alpha >= 1.0 / 255.0)
-            a = jnp.where(ok, alpha, 0.0) * in_range
-
-            l1ma = jnp.log1p(-a)
-            cum = _lane_cumsum(l1ma) + log_t
-            t_after = jnp.exp(cum)
-            t_before = jnp.exp(cum - l1ma)
-            include = (a > 0.0) & (t_after >= 1e-4)
-            w = jnp.where(include, a * t_before, 0.0)
-
-            # rows [depth, ONES, feat...] x w -> [2 + nf, P]: depth sum,
-            # weight sum and color accumulation in ONE MXU contraction
-            acc = acc + jax.lax.dot_general(
-                chunk_buf[HDR - 2:, :], w,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            log_t = log_t + jnp.sum(jnp.where(include, l1ma, 0.0), axis=1,
-                                    keepdims=True)
-            return acc, log_t
-
-        acc0 = jnp.zeros((2 + n_feat, P), jnp.float32)
-        zero1 = jnp.zeros((P, 1), jnp.float32)
-        acc, log_t = jax.lax.fori_loop(
-            0, n_chunks, body, (acc0, zero1)
+        acc, final_t = _accumulate_tile(
+            data_ref, chunk_buf, sem, start, count, px, py,
+            n_feat=n_feat, chunk=chunk,
         )
-        final_t = jnp.exp(log_t)
-        stage_buf[:n_feat, :] = acc[2:, :]                  # color rows
-        stage_buf[n_feat:n_feat + 1, :] = acc[1:2, :]       # w_sum (ones row)
-        stage_buf[n_feat + 1:n_feat + 2, :] = acc[0:1, :]   # d_sum
-        stage_buf[n_feat + 2:n_feat + 3, :] = jnp.transpose(final_t)
+        # stage only the REAL channels (the ceil8 feature-pad columns of the
+        # instance matrix never leave the kernel): rows [c_real, w, d, T]
+        # padded to a sublane multiple — 24 staged rows instead of 32 for
+        # C=19, which is 25% less assemble traffic downstream.
+        stage_buf[:n_real, :] = acc[2:2 + n_real, :]        # color rows
+        stage_buf[n_real:n_real + 1, :] = acc[1:2, :]       # w_sum (ones row)
+        stage_buf[n_real + 1:n_real + 2, :] = acc[0:1, :]   # d_sum
+        stage_buf[n_real + 2:n_real + 3, :] = jnp.transpose(final_t)
+        if stage_buf.shape[0] > n_real + 3:   # zero the sublane-pad rows
+            stage_buf[n_real + 3:, :] = jnp.zeros(
+                (stage_buf.shape[0] - n_real - 3, P), jnp.float32
+            )
         wr = pltpu.make_async_copy(stage_buf, out_ref.at[t], sem2)
         wr.start()
         wr.wait()
@@ -233,10 +259,194 @@ def _blend_kernel(
         one_tile(ti)
 
 
+def _blend_row_kernel(
+    starts_ref, counts_ref, tile_base_ref,   # scalar prefetch
+    data_ref,                     # [D, NS] in ANY/HBM
+    out_ref,                      # [c_stage, Hp, Wp] PLANAR in ANY/HBM
+    chunk_buf, stage_row, sem, sem2,   # scratch
+    *,
+    tile_w: int,
+    tile_h: int,
+    tiles_x: int,
+    n_feat: int,
+    n_real: int,
+    chunk: int,
+    tiles_per_step: int,
+):
+    """Row-staged blend: each grid step blends `tiles_per_step` consecutive
+    tiles of ONE tile row, assembles them in VMEM as a planar
+    [c_stage, tile_h, TB*tile_w] strip (in-register lane-slice moves), and
+    writes the strip with a single aligned DMA into a planar [c_stage, H, W]
+    output. This removes the [T, c, P] -> [H, W, C] XLA relayout entirely
+    (two copies, ~456 us/frame at 512^2) — the planar output IS the
+    {1,0,2}-layout image XLA was materializing anyway.
+
+    Alignment contract (checked by the caller): tiles_per_step divides
+    tiles_x and tiles_per_step * tile_w is a multiple of 128."""
+    P = tile_w * tile_h
+    TBW = tiles_per_step * tile_w
+    pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    pix_x = (pix % tile_w).astype(jnp.float32)
+    pix_y = (pix // tile_w).astype(jnp.float32)
+
+    # background prefill for the whole strip: zeros, final_t row = 1
+    rows3 = jax.lax.broadcasted_iota(
+        jnp.int32, (stage_row.shape[0], tile_h, TBW), 0
+    )
+    stage_row[...] = jnp.where(rows3 == n_real + 2, 1.0, 0.0)
+
+    def one_tile(ti):
+        t = pl.program_id(0) * tiles_per_step + ti
+        start = starts_ref[t]
+        count = counts_ref[t]
+
+        @pl.when(count > 0)
+        def _():
+            tg = tile_base_ref[0] + t
+            x0 = ((tg % tiles_x) * tile_w).astype(jnp.float32)
+            y0 = ((tg // tiles_x) * tile_h).astype(jnp.float32)
+            acc, final_t = _accumulate_tile(
+                data_ref, chunk_buf, sem, start, count,
+                x0 + pix_x, y0 + pix_y,
+                n_feat=n_feat, chunk=chunk,
+            )
+            # rows [n_real color, w_sum, d_sum, final_t]
+            val = jnp.concatenate(
+                [acc[2:2 + n_real, :], acc[1:2, :], acc[0:1, :],
+                 jnp.transpose(final_t)],
+                axis=0,
+            )                                       # [n_real + 3, P]
+            # scatter the tile's columns into the row strip: static
+            # lane-slice moves (VREG shuffles), no HBM traffic
+            for y in range(tile_h):
+                stage_row[:n_real + 3, y, ti * tile_w:(ti + 1) * tile_w] = (
+                    val[:, y * tile_w:(y + 1) * tile_w]
+                )
+
+    for ti in range(tiles_per_step):
+        one_tile(ti)
+
+    # one aligned DMA per strip: [c_stage, tile_h, TBW] into the planar image
+    s = pl.program_id(0)
+    row = (s * tiles_per_step) // tiles_x
+    col0 = (s * tiles_per_step) % tiles_x
+    # alignment hints so Mosaic can prove the slice offsets divide the
+    # (8, 128) tiling: col0 is a multiple of TB, so col0*tile_w is a
+    # multiple of TBW (>= 128 by the row_mode_supported contract)
+    y_off = pl.multiple_of(row * tile_h, tile_h)
+    x_off = pl.multiple_of(col0 * tile_w, TBW)
+    wr = pltpu.make_async_copy(
+        stage_row,
+        out_ref.at[:, pl.ds(y_off, tile_h), pl.ds(x_off, TBW)],
+        sem2,
+    )
+    wr.start()
+    wr.wait()
+
+
+def row_mode_supported(
+    n_tiles: int, tiles_x: int, tile_w: int, tile_h: int
+) -> int:
+    """Return the row-kernel tiles_per_step (0 if unsupported): the SMALLEST
+    TB dividing tiles_x with TB * tile_w % 128 == 0 (DMA lane alignment),
+    with n_tiles covering whole rows. Smallest wins: the kernel statically
+    unrolls TB tiles x tile_h staging stores per grid step, and Mosaic
+    compile time/size grows superlinearly with the unroll (TB = 32 produced
+    a 20 MB MLIR module that the compiler rejected)."""
+    if n_tiles % tiles_x:
+        return 0
+    for tb in (1, 2, 4, 8, 16, 32, 64, 128):
+        if tiles_x % tb == 0 and (tb * tile_w) % 128 == 0:
+            return tb
+    if (tiles_x * tile_w) % 128 == 0:
+        return tiles_x
+    return 0
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("n_tiles", "tiles_x", "tile_w", "tile_h", "chunk",
-                     "interpret"),
+    static_argnames=("n_tiles", "tiles_x", "n_channels", "tile_w", "tile_h",
+                     "chunk", "interpret"),
+)
+def blend_rows_raw(
+    data: jnp.ndarray,       # [D, NS_pad] instance matrix (lane-padded)
+    starts: jnp.ndarray,     # [n_tiles]
+    counts: jnp.ndarray,     # [n_tiles]
+    tile_base: jnp.ndarray,  # [1] i32 — global index of local tile 0
+    *,
+    n_tiles: int,
+    tiles_x: int,
+    n_channels: int,
+    tile_w: int = 16,
+    tile_h: int = 16,
+    chunk: int = 2 * LANE,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Row-staged planar blend -> [c_stage, (n_tiles/tiles_x)*tile_h,
+    tiles_x*tile_w] with planes [n_channels colors, w_sum, d_sum, final_t,
+    zero pad]. Caller must have row_mode_supported(...) > 0."""
+    T = n_tiles
+    D = data.shape[0]
+    n_feat = D - HDR
+    c_stage = -(-(n_channels + 3) // 8) * 8
+    TB = row_mode_supported(n_tiles, tiles_x, tile_w, tile_h)
+    assert TB > 0, (n_tiles, tiles_x, tile_w)
+    n_rows = n_tiles // tiles_x
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(T // TB,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((D, chunk), jnp.float32),
+            pltpu.VMEM((c_stage, tile_h, TB * tile_w), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kernel = functools.partial(
+        _blend_row_kernel, tile_w=tile_w, tile_h=tile_h, tiles_x=tiles_x,
+        n_feat=n_feat, n_real=n_channels, chunk=chunk, tiles_per_step=TB,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (c_stage, n_rows * tile_h, tiles_x * tile_w), jnp.float32
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            has_side_effects=True,
+        ),
+    )(starts, counts, tile_base.astype(jnp.int32), data)
+
+
+def finish_planar(
+    planar: jnp.ndarray,         # [c_stage, Hp, Wp] row-kernel output
+    bg: jnp.ndarray,             # [n_channels]
+    *,
+    n_channels: int,
+    width: int,
+    height: int,
+):
+    """Background-compose + crop the planar row-kernel output. The [H, W, C]
+    image view is a transpose of contiguous planes — XLA assigns it the
+    {1,0,2} layout it already prefers, so no relayout copy."""
+    planar = planar[:, :height, :width]
+    final_t = planar[n_channels + 2]
+    color = planar[:n_channels] + final_t[None] * bg[:, None, None]
+    image = jnp.transpose(color, (1, 2, 0))
+    alpha = planar[n_channels]
+    depth = planar[n_channels + 1]
+    return image, alpha, depth, final_t
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_tiles", "tiles_x", "n_channels", "tile_w", "tile_h",
+                     "chunk", "interpret"),
 )
 def blend_tiles_raw(
     data: jnp.ndarray,       # [D, NS_pad] instance matrix (lane-padded)
@@ -246,6 +456,7 @@ def blend_tiles_raw(
     *,
     n_tiles: int,
     tiles_x: int,
+    n_channels: int,
     tile_w: int = 16,
     tile_h: int = 16,
     chunk: int = 2 * LANE,
@@ -253,14 +464,15 @@ def blend_tiles_raw(
 ) -> jnp.ndarray:
     """Run the blend kernel over `n_tiles` consecutive tiles of a global
     `tiles_x`-wide grid; returns raw tile-major output [n_tiles, c_stage, P]
-    (feature rows, then w_sum, d_sum, final_t rows). This is the shard-level
-    entry used by the tile-sharded rasterizer (parallel/raster.py); the
-    single-device blend_pallas_raw wraps it with tile_base = 0."""
+    with rows [n_channels real feature rows, w_sum, d_sum, final_t,
+    zero pad to a sublane multiple]. This is the shard-level entry used by
+    the tile-sharded rasterizer (parallel/raster.py); the single-device
+    blend_pallas_raw wraps it with tile_base = 0."""
     T = n_tiles
     P = tile_w * tile_h
     D = data.shape[0]
     n_feat = D - HDR             # padded feature count (multiple of 8)
-    c_out = n_feat + 3
+    c_out = n_channels + 3
     c_stage = -(-c_out // 8) * 8  # staged rows (sublane multiple of 8)
 
     TB = 32                       # ranked-tile batching per grid step
@@ -283,13 +495,13 @@ def blend_tiles_raw(
     )
     kernel = functools.partial(
         _blend_kernel, tile_w=tile_w, tile_h=tile_h, tiles_x=tiles_x,
-        n_feat=n_feat, chunk=chunk, tiles_per_step=TB,
+        n_feat=n_feat, n_real=n_channels, chunk=chunk, tiles_per_step=TB,
     )
     # background prefill: zero color/alpha/depth, final_t = 1; the kernel
     # only overwrites non-empty tiles (input_output alias; indices count
     # the scalar-prefetch args)
     rows = jax.lax.broadcasted_iota(jnp.int32, (T, c_stage, P), 1)
-    prefill = jnp.where(rows == n_feat + 2, 1.0, 0.0)
+    prefill = jnp.where(rows == n_channels + 2, 1.0, 0.0)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((T, c_stage, P), jnp.float32),
@@ -326,17 +538,27 @@ def blend_pallas_raw(
     tw = -(-width // tile_w)
     th = -(-height // tile_h)
     T = tw * th
-    D = inst.data.shape[0]
-    n_feat = D - HDR
+
+    if row_mode_supported(T, tw, tile_w, tile_h):
+        planar = blend_rows_raw(
+            inst.data, inst.starts, inst.counts, jnp.zeros((1,), jnp.int32),
+            n_tiles=T, tiles_x=tw, n_channels=n_channels,
+            tile_w=tile_w, tile_h=tile_h, chunk=chunk,
+            interpret=interpret,
+        )
+        return finish_planar(
+            planar, bg, n_channels=n_channels, width=width, height=height,
+        )
 
     tiles_out = blend_tiles_raw(
         inst.data, inst.starts, inst.counts, jnp.zeros((1,), jnp.int32),
-        n_tiles=T, tiles_x=tw, tile_w=tile_w, tile_h=tile_h, chunk=chunk,
+        n_tiles=T, tiles_x=tw, n_channels=n_channels,
+        tile_w=tile_w, tile_h=tile_h, chunk=chunk,
         interpret=interpret,
     )
 
     return finish_tiles(
-        tiles_out, bg, n_channels=n_channels, n_feat=n_feat,
+        tiles_out, bg, n_channels=n_channels,
         width=width, height=height, tile_w=tile_w, tile_h=tile_h,
     )
 
@@ -346,7 +568,6 @@ def finish_tiles(
     bg: jnp.ndarray,             # [n_channels]
     *,
     n_channels: int,
-    n_feat: int,
     width: int,
     height: int,
     tile_w: int,
@@ -358,9 +579,9 @@ def finish_tiles(
     tw = -(-width // tile_w)
     th = -(-height // tile_h)
     color = tiles_out[:, :n_channels, :]                 # [T, C, P]
-    w_sum = tiles_out[:, n_feat, :]
-    d_sum = tiles_out[:, n_feat + 1, :]
-    final_t = tiles_out[:, n_feat + 2, :]
+    w_sum = tiles_out[:, n_channels, :]
+    d_sum = tiles_out[:, n_channels + 1, :]
+    final_t = tiles_out[:, n_channels + 2, :]
     color = color + final_t[:, None, :] * bg[None, :, None]
 
     def assemble(x, ch):
@@ -542,43 +763,52 @@ blend_pallas.defvjp(_blend_pallas_fwd, _blend_pallas_bwd)
 # ----------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def blend_instances(
     data, starts, counts, tile_base,
-    n_tiles, tiles_x, tile_w, tile_h, interpret,
+    n_tiles, tiles_x, n_channels, tile_w, tile_h, interpret,
 ):
     """Differentiable raw tile blend: [D, NS_pad] instance matrix ->
-    [n_tiles, c_stage, P] (rows: features, w_sum, d_sum, final_t)."""
+    [n_tiles, c_stage, P] (rows: n_channels features, w_sum, d_sum,
+    final_t, zero pad)."""
     return blend_tiles_raw(
         data, starts, counts, tile_base,
-        n_tiles=n_tiles, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h,
+        n_tiles=n_tiles, tiles_x=tiles_x, n_channels=n_channels,
+        tile_w=tile_w, tile_h=tile_h,
         interpret=interpret,
     )
 
 
 def _blend_instances_fwd(
     data, starts, counts, tile_base,
-    n_tiles, tiles_x, tile_w, tile_h, interpret,
+    n_tiles, tiles_x, n_channels, tile_w, tile_h, interpret,
 ):
     out = blend_instances(
         data, starts, counts, tile_base,
-        n_tiles, tiles_x, tile_w, tile_h, interpret,
+        n_tiles, tiles_x, n_channels, tile_w, tile_h, interpret,
     )
     return out, (data, starts, counts, tile_base)
 
 
 def _blend_instances_bwd(
-    n_tiles, tiles_x, tile_w, tile_h, interpret, res, g,
+    n_tiles, tiles_x, n_channels, tile_w, tile_h, interpret, res, g,
 ):
     from mygauhuman_tpu.ops.pallas_blend_bwd import blend_tiles_bwd_raw
 
     data, starts, counts, tile_base = res
     D = data.shape[0]
     n_feat = D - HDR
-    c_out = n_feat + 3
-    # kernel cotangent layout: [T, P, c_out] = transpose of the output's
-    # leading c_out rows (unused stage-pad rows carry no cotangent)
-    cot = jnp.transpose(g[:, :c_out, :], (0, 2, 1))
+    P = tile_w * tile_h
+    # bwd-kernel cotangent layout: [T, P, n_feat + 3] — real feature-channel
+    # cotangents, zeros for the instance matrix's ceil8 pad columns, then
+    # the w_sum / d_sum / final_t rows (stage-pad rows carry no cotangent)
+    gc = jnp.transpose(g[:, :n_channels, :], (0, 2, 1))
+    aux = jnp.transpose(g[:, n_channels:n_channels + 3, :], (0, 2, 1))
+    cot = jnp.concatenate(
+        [gc, jnp.zeros((g.shape[0], P, n_feat - n_channels), jnp.float32),
+         aux],
+        axis=-1,
+    )
     d_data = blend_tiles_bwd_raw(
         data, starts, counts, tile_base, cot,
         n_tiles=n_tiles, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h,

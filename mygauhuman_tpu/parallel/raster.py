@@ -32,7 +32,7 @@ import math
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from mygauhuman_tpu.ops.binning import bin_gaussians, tile_dims
 from mygauhuman_tpu.ops.pallas_blend import (
@@ -72,6 +72,7 @@ def raster_strip_core(
             jax.lax.axis_size(a) for a in axis_names  # type: ignore[attr-defined]
         ))
     n_local = means3d.shape[0]
+    n_channels = features.shape[-1]
     tile_w, tile_h = config.tile_w, config.tile_h
     tw, th = tile_dims(width, height, tile_w, tile_h)
     T = tw * th
@@ -101,9 +102,11 @@ def raster_strip_core(
     )
 
     # ---- stage 2: bounded per-strip windows of the local sorted list
-    total_live = jnp.searchsorted(
-        bins.sorted_tile, jnp.int32(T), side="left"
-    ).astype(jnp.int32)
+    # (total live count = last tile's end; bin_gaussians' starts/counts are
+    # exact cumulative offsets, so no searchsorted over the sorted list)
+    total_live = bins.starts[-1] + jnp.minimum(
+        bins.counts[-1], jnp.int32(n_local * S) - bins.starts[-1]
+    )
     starts_ext = jnp.concatenate([bins.starts, total_live[None]])
     lo = starts_ext[jnp.asarray(strip_lo[:-1], jnp.int32)]   # [S_n]
     hi = starts_ext[jnp.asarray(strip_lo[1:], jnp.int32)]
@@ -174,7 +177,7 @@ def raster_strip_core(
 
     tiles_out = blend_instances(
         data_sorted, lstarts, lcounts, jnp.full((1,), t0, jnp.int32),
-        T_strip, tw, tile_w, tile_h, config.pallas_interpret,
+        T_strip, tw, n_channels, tile_w, tile_h, config.pallas_interpret,
     )                                                   # [T_s, c_st, P]
 
     radii = jnp.where(visible, proj.radii, 0)
@@ -261,14 +264,13 @@ def rasterize_sharded(
         in_specs=(spec_g, spec_g, spec_g, spec_g, spec_g, spec_g,
                   repl, repl),
         out_specs=out_specs,
-        check_rep=False,
+        check_vma=False,
     )(means3d, cov3d6, opacities, features, means2d_offset, alive,
       w2c, full_proj)
 
-    n_feat = -(-features.shape[-1] // 8) * 8   # ceil8-padded feature rows
     image, alpha, depth, final_t = finish_tiles(
         tiles_out[:T], bg,
-        n_channels=features.shape[-1], n_feat=n_feat,
+        n_channels=features.shape[-1],
         width=width, height=height, tile_w=tile_w, tile_h=tile_h,
     )
     ov_tiles, ov_gauss, ov_inst = counters
@@ -319,10 +321,9 @@ def make_strip_raster_fn(
             tiles_out, axis_names, axis=0, tiled=True
         )                                            # [T_pad, c_stage, P]
         tw, th = tile_dims(width, height, config.tile_w, config.tile_h)
-        n_feat = -(-features.shape[-1] // 8) * 8
         image, alpha, depth, final_t = finish_tiles(
             gathered[:tw * th], bg,
-            n_channels=features.shape[-1], n_feat=n_feat,
+            n_channels=features.shape[-1],
             width=width, height=height,
             tile_w=config.tile_w, tile_h=config.tile_h,
         )

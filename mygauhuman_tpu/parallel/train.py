@@ -170,7 +170,7 @@ def make_tile_sharded_train_step(
 
     import numpy as np
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from mygauhuman_tpu.parallel.raster import (
         make_strip_raster_fn,
@@ -336,7 +336,7 @@ def make_tile_sharded_train_step(
             mesh=mesh,
             in_specs=(tspec, batch_specs(batch)),
             out_specs=(tspec, repl),
-            check_rep=False,
+            check_vma=False,
         )
         return sharded(ts, batch)
 

@@ -1,0 +1,63 @@
+"""Round-3 honest FPS sweep (fori_loop harness, one dispatch) over scales.
+
+Rows match PERF.md's render table: (n_verts, capacity, instance_capacity).
+"""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", "..")))
+
+import functools, time
+import jax, jax.numpy as jnp
+
+from mygauhuman_tpu.utils.compile_cache import enable_persistent_cache
+enable_persistent_cache()
+from mygauhuman_tpu.data.synthetic import make_synthetic_scene
+from mygauhuman_tpu.ops.rasterize import RasterizerConfig
+from mygauhuman_tpu.render import render_frame
+
+V = 4
+F = 256
+
+ROWS = [
+    (6890, 8192, 4 * 8192),       # bench.py operating point
+    (8192, 16384, 4 * 16384),     # PERF row 2
+    (32768, 65536, 4 * 65536),    # training-capacity 32k
+    (32768, 32768, 4 * 32768),    # serving (compacted) 32k
+]
+
+for n_verts, cap, icap in ROWS:
+    cfg = RasterizerConfig(tile_capacity=1024, chunk_tiles=64, use_pallas=True,
+                           instance_capacity=icap)
+    scene = make_synthetic_scene(n_views=V, width=512, height=512,
+                                 n_verts=n_verts, capacity=cap,
+                                 raster_config=cfg)
+    state, model = scene.gt_state, scene.smpl_model
+    views = []
+    for b in scene.batches:
+        full = render_frame(state, b.camera, b.frame, model, bg=jnp.zeros(3),
+                            active_sh_degree=0, config=cfg)
+        views.append((b.camera, b.frame, full.transforms, full.translation))
+    vstack = jax.device_put(jax.tree.map(lambda *xs: jnp.stack(xs), *views))
+    params = jax.device_put(state.params)
+
+    @functools.partial(jax.jit, static_argnames=("n_frames",))
+    def sweep(params, vstack, n_frames):
+        def body(i, carry):
+            cam, frame, tfs, tls = jax.tree.map(lambda x: x[i % V], vstack)
+            eps = 1e-12 * i.astype(jnp.float32)
+            st = state._replace(params=params._replace(
+                opacity=params.opacity + eps))
+            out = render_frame(st, cam, frame, model, bg=jnp.zeros(3),
+                               active_sh_degree=0, config=cfg,
+                               transforms=tfs, translation=tls)
+            return carry + out.render[0, 0, 0]
+        return jax.lax.fori_loop(0, n_frames, body, jnp.zeros(()))
+
+    sweep(params, vstack, F).block_until_ready()
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sweep(params, vstack, F).block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    ms = best / F * 1e3
+    print(f"n={n_verts:6d} cap={cap:6d} icap={icap:7d}: {ms:6.3f} ms/frame  "
+          f"{F/best:7.1f} FPS  ({F/best/189:.2f}x baseline)", flush=True)

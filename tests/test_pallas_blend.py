@@ -162,3 +162,80 @@ class TestKernelBwdFullCotangents:
                 np.asarray(b), np.asarray(a), atol=2e-4, rtol=2e-4,
                 err_msg=name,
             )
+
+
+class TestRowModeKernel:
+    """The row-staged planar kernel (blend_rows_raw) vs the jnp blend at an
+    image size that activates it (128^2 -> tiles_x = 8, TB = 8)."""
+
+    def _inputs(self, seed=0, w=128, h=128):
+        rng = np.random.RandomState(seed)
+        n = 200
+        means3d = jnp.asarray(rng.randn(n, 3).astype(np.float32) * 0.5)
+        scales = np.exp(rng.randn(n, 3).astype(np.float32) * 0.3 - 2.0)
+        quats = rng.randn(n, 4).astype(np.float32)
+        cov6 = strip_symmetric(covariance_from_scaling_rotation(
+            jnp.asarray(scales), jnp.asarray(quats)))
+        opac = jnp.asarray(rng.rand(n).astype(np.float32)) * 0.9 + 0.05
+        feats = jnp.asarray(rng.rand(n, C).astype(np.float32))
+        cam = make_camera(R=np.eye(3), t=np.array([0.0, 0.0, 3.0]),
+                          width=w, height=h, fovx=1.0, fovy=1.0)
+        return means3d, cov6, opac, feats, cam
+
+    def test_row_mode_selected_and_matches(self):
+        from mygauhuman_tpu.ops.pallas_blend import row_mode_supported
+        w = h = 128
+        assert row_mode_supported((w // 16) * (h // 16), w // 16, 16, 16) > 0
+        means3d, cov6, opac, feats, cam = self._inputs(0, w, h)
+        common = dict(width=w, height=h, tan_fovx=cam.tan_fovx,
+                      tan_fovy=cam.tan_fovy)
+        bg = jnp.linspace(0.1, 0.9, C)
+        ref = rasterize(means3d, cov6, opac, feats, cam.w2c, cam.full_proj,
+                        bg, config=RasterizerConfig(tile_capacity=K),
+                        **common)
+        got = rasterize(means3d, cov6, opac, feats, cam.w2c, cam.full_proj,
+                        bg,
+                        config=RasterizerConfig(tile_capacity=K,
+                                                use_pallas=True,
+                                                pallas_interpret=True),
+                        **common)
+        np.testing.assert_allclose(np.asarray(got.image),
+                                   np.asarray(ref.image), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got.alpha),
+                                   np.asarray(ref.alpha), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got.depth),
+                                   np.asarray(ref.depth), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got.final_t),
+                                   np.asarray(ref.final_t), atol=1e-5)
+        assert float(jnp.max(got.alpha)) > 0.1, "nothing blended"
+
+    def test_row_mode_grads(self):
+        w = h = 128
+        means3d, cov6, opac, feats, cam = self._inputs(1, w, h)
+        proj = preprocess(means3d, cov6, cam.w2c, cam.full_proj, w, h,
+                          cam.tan_fovx, cam.tan_fovy)
+        bins = bin_gaussians(proj.means2d, proj.radii, proj.depths,
+                             proj.visible, width=w, height=h,
+                             tile_capacity=K)
+        counts = jnp.minimum(bins.counts, K)
+        bg0 = jnp.linspace(0.1, 0.9, C)
+
+        def loss_ref(m2, con, op, feat):
+            out = blend(bins.idx, bins.valid, m2, con, op, feat, proj.depths,
+                        bg0, width=w, height=h)
+            return (jnp.sum(out.image**2) + jnp.sum(out.alpha**2)
+                    + jnp.sum(out.final_t**2))
+
+        def loss_pal(m2, con, op, feat):
+            out = blend_pallas(bins.sorted_gid, bins.starts, counts,
+                               m2, con, op, feat, proj.depths, bg0,
+                               w, h, 16, 16, 64, K, True, True)
+            return (jnp.sum(out.image**2) + jnp.sum(out.alpha**2)
+                    + jnp.sum(out.final_t**2))
+
+        args = (proj.means2d, proj.conics, opac, feats)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(*args)
+        g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3))(*args)
+        for a, b in zip(g_ref, g_pal):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=1e-4, rtol=1e-4)
