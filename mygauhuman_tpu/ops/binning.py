@@ -31,7 +31,15 @@ import jax.numpy as jnp
 
 
 class TileLists(NamedTuple):
-    """Depth-sorted per-tile Gaussian index lists (static shapes)."""
+    """Depth-sorted per-tile Gaussian index lists (static shapes).
+
+    The fast path works in RANK space: instances carry the gaussian's depth
+    rank r (not its id), and `order` maps rank -> id. Consumers that gather
+    per-gaussian attributes should permute the attribute table by `order`
+    once (a cheap [N]-row gather) and index it with `sorted_rank` — the
+    id-space view `sorted_gid = order[sorted_rank]` lowers to a serialized
+    1-D gather on TPU (~7 ns/element) and exists for the jnp spec path; XLA
+    DCEs it when unused."""
 
     idx: jnp.ndarray        # [T, K] int32 Gaussian ids, front-to-back
     valid: jnp.ndarray      # [T, K] bool
@@ -42,6 +50,10 @@ class TileLists(NamedTuple):
     sorted_gid: jnp.ndarray # [I] int32 tile-major depth-sorted instance ids
     sorted_tile: jnp.ndarray # [I] int32 tile id per sorted instance (T = dead)
     starts: jnp.ndarray     # [T] int32 offset of each tile's slice in sorted_gid
+    sorted_rank: jnp.ndarray  # [I] int32 depth RANK per sorted instance
+    order: jnp.ndarray      # [N] int32 rank -> gaussian id (identity on the
+                            # lexicographic fallback path)
+    rank: jnp.ndarray       # [N] int32 gaussian id -> depth rank (inverse)
 
 
 
@@ -185,9 +197,6 @@ def bin_gaussians(
     tile_id = jnp.where(slot_ok, tile_id, T).astype(jnp.int32)     # sentinel T
 
     flat_tile = tile_id.reshape(-1)
-    flat_gid = jnp.broadcast_to(
-        jnp.arange(N, dtype=jnp.int32)[:, None], (N, S)
-    ).reshape(-1)
 
     # Front-to-back order within each tile. Fast path: pack (tile, depth
     # RANK) into ONE int32 key — the global argsort rank preserves the exact
@@ -215,30 +224,42 @@ def bin_gaussians(
         rank_radix *= 2
     overflow_inst = jnp.zeros((), jnp.int32)
     if (T + 1) * rank_radix < 2**31:
+        # depth rank WITHOUT a scatter (scatters serialize on TPU — the
+        # .at[order].set inverse-permutation fusion cost 304 us at 64k
+        # capacity): sorting (order, iota) by order IS the inverse
+        # permutation, and a second sort is ~3x cheaper than the scatter.
         order = jnp.argsort(depths.astype(jnp.float32))
-        rank = jnp.zeros((N,), jnp.int32).at[order].set(
-            jnp.arange(N, dtype=jnp.int32)
+        _, rank = jax.lax.sort(
+            (order, jnp.arange(N, dtype=jnp.int32)),
+            num_keys=1, is_stable=False,
         )
         flat_rank = jnp.broadcast_to(rank[:, None], (N, S)).reshape(-1)
         key = flat_tile * rank_radix + flat_rank
-        sorted_key, sorted_gid = jax.lax.sort(
-            (key, flat_gid), num_keys=1, is_stable=False
-        )
-        sorted_tile = sorted_key // rank_radix
+        # Sort the key ALONE (a single-operand sort moves half the data of
+        # the (key, gid) pair sort: 904 -> 446 us at 64k capacity) — the
+        # instance's rank is the key's low bits, and order[rank] recovers
+        # the gaussian id when a consumer really needs id space.
+        sorted_key = jax.lax.sort(key, is_stable=False)
         I = N * S
         if instance_capacity is not None and instance_capacity < N * S:
             # Dead slots carry sentinel keys (tile = T) and sort to the END,
             # so the live instances are exactly the sorted prefix — slice it
             # and downstream gather/blend work scales with I, not N*S. The
             # deepest global tail is what a too-small I drops (and counts).
+            # Slice BEFORE deriving rank/tile so everything is I-sized.
             I = instance_capacity
             overflow_inst = jnp.maximum(total_live - I, 0)
-            sorted_gid = sorted_gid[:I]
-            sorted_tile = sorted_tile[:I]
+            sorted_key = sorted_key[:I]
             starts = jnp.minimum(starts, I)
             ends = jnp.minimum(ends, I)
+        sorted_tile = sorted_key // rank_radix
+        sorted_rank = sorted_key % rank_radix
+        sorted_gid = order.at[sorted_rank].get(mode="promise_in_bounds")
     else:
         I = N * S
+        flat_gid = jnp.broadcast_to(
+            jnp.arange(N, dtype=jnp.int32)[:, None], (N, S)
+        ).reshape(-1)
         flat_depth = jnp.broadcast_to(
             depths[:, None], (N, S)
         ).reshape(-1).astype(jnp.float32)
@@ -246,6 +267,9 @@ def bin_gaussians(
             (flat_tile, flat_depth, flat_gid), num_keys=2
         )
         sorted_tile = sorted_tile.astype(jnp.int32)
+        sorted_rank = sorted_gid
+        order = jnp.arange(N, dtype=jnp.int32)
+        rank = order
     counts = ends - starts
 
     k = jnp.arange(K, dtype=jnp.int32)[None, :]                     # [1, K]
@@ -264,4 +288,7 @@ def bin_gaussians(
         sorted_gid=sorted_gid,
         sorted_tile=sorted_tile,
         starts=starts,
+        sorted_rank=sorted_rank,
+        order=order,
+        rank=rank,
     )

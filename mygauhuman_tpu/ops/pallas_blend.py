@@ -74,7 +74,7 @@ def attr_matrix(
 
 
 def build_instance_data(
-    sorted_gid: jnp.ndarray,    # [NS] depth-sorted gaussian ids (tile-major)
+    sorted_idx: jnp.ndarray,    # [NS] depth-sorted instance ids (tile-major)
     starts: jnp.ndarray,        # [T]
     counts: jnp.ndarray,        # [T]
     means2d: jnp.ndarray,       # [N, 2]
@@ -83,9 +83,15 @@ def build_instance_data(
     depths: jnp.ndarray,        # [N]
     features: jnp.ndarray,      # [N, C]
     chunk: int = 2 * LANE,
+    order: jnp.ndarray | None = None,   # [N] rank -> gaussian id
 ) -> InstanceData:
-    """Gather per-instance rows once; one XLA gather, fused upstream."""
-    g = sorted_gid
+    """Gather per-instance rows once; one XLA gather, fused upstream.
+
+    With `order` given, `sorted_idx` is in RANK space (binning's fast path):
+    the attribute table is permuted to rank order first — one [N]-row
+    gather — so the instance gather needs no id recovery (order[rank] as a
+    fused index is a serialized 1-D gather, 1.9 ms at 64k capacity)."""
+    g = sorted_idx
     ns = g.shape[0]
     n = means2d.shape[0]
     c = features.shape[-1]
@@ -94,6 +100,8 @@ def build_instance_data(
     # order. (Gathering [NS, D] rows and transposing costs ~2.4ms at 512^2;
     # the lane-gather form stays in a TPU-friendly layout throughout.)
     attrs = attr_matrix(means2d, conics, opacities, depths, features)
+    if order is not None:
+        attrs = attrs.at[:, order].get(mode="promise_in_bounds")
     # Pad the INDEX array (cheap, [pad] i32) instead of padding the gathered
     # [D, NS] matrix (a 400us pad of 128 MB at 64k capacity); padded entries
     # gather gaussian 0 — finite garbage the kernel's count mask never reads.
@@ -604,9 +612,11 @@ def finish_tiles(
 from mygauhuman_tpu.ops.blend import BlendOutput, blend as _jnp_blend  # noqa: E402
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14, 15, 16))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14, 15, 16, 17, 18)
+)
 def blend_pallas(
-    sorted_gid, starts, counts,
+    sorted_rank, order, rank, starts, counts,
     means2d, conics, opacities, features, depths, bg,
     width, height, tile_w, tile_h, chunk_tiles, tile_capacity, interpret,
     kernel_bwd,
@@ -618,12 +628,12 @@ def blend_pallas(
     jnp path's [T, K] id lists are NOT taken as inputs (custom_vjp calls are
     opaque to DCE — passing them would keep an 8ms dead gather alive in
     forward-only renders); both backwards rebuild what they need from
-    (sorted_gid, starts, counts).
-
+    (sorted_rank, order, rank, starts, counts) — binning's rank-space
+    triplet (TileLists.sorted_rank/order/rank).
     """
     inst = build_instance_data(
-        sorted_gid, starts, counts, means2d, conics, opacities, depths,
-        features,
+        sorted_rank, starts, counts, means2d, conics, opacities, depths,
+        features, order=order,
     )
     image, alpha, depth, final_t = blend_pallas_raw(
         inst, bg, width=width, height=height,
@@ -634,19 +644,19 @@ def blend_pallas(
 
 
 def _blend_pallas_fwd(
-    sorted_gid, starts, counts,
+    sorted_rank, order, rank, starts, counts,
     means2d, conics, opacities, features, depths, bg,
     width, height, tile_w, tile_h, chunk_tiles, tile_capacity, interpret,
     kernel_bwd,
 ):
     out = blend_pallas(
-        sorted_gid, starts, counts,
+        sorted_rank, order, rank, starts, counts,
         means2d, conics, opacities, features, depths, bg,
         width, height, tile_w, tile_h, chunk_tiles, tile_capacity, interpret,
         kernel_bwd,
     )
-    res = (sorted_gid, starts, counts, means2d, conics, opacities, features,
-           depths, bg, out.final_t)
+    res = (sorted_rank, order, rank, starts, counts, means2d, conics,
+           opacities, features, depths, bg, out.final_t)
     return out, res
 
 
@@ -665,8 +675,8 @@ def _blend_pallas_bwd(
     width, height, tile_w, tile_h, chunk_tiles, tile_capacity, interpret,
     kernel_bwd, res, g,
 ):
-    (sorted_gid, starts, counts, means2d, conics, opacities, features,
-     depths, bg, final_t) = res
+    (sorted_rank, order, rank, starts, counts, means2d, conics, opacities,
+     features, depths, bg, final_t) = res
     n = means2d.shape[0]
     c = features.shape[-1]
 
@@ -693,8 +703,8 @@ def _blend_pallas_bwd(
         cot_tiles = _tile_major(cot, th, tw, tile_h, tile_w)
 
         inst = build_instance_data(
-            sorted_gid, starts, counts, means2d, conics, opacities, depths,
-            features,
+            sorted_rank, starts, counts, means2d, conics, opacities, depths,
+            features, order=order,
         )
         grads = blend_pallas_bwd_raw(
             inst.data, starts, counts, cot_tiles,
@@ -702,7 +712,7 @@ def _blend_pallas_bwd(
             interpret=interpret,
         )                                           # [NS_pad, ceil128(G)]
         grads = grads[:, :inst.data.shape[0]]       # drop the lane pad
-        ns = sorted_gid.shape[0]
+        ns = sorted_rank.shape[0]
         # Deterministic per-gaussian reduction (no atomics). Fast path:
         # invert the binning sort's permutation with ONE unstable
         # (slot, position) sort, lane-gather each slot's gradient column,
@@ -719,17 +729,24 @@ def _blend_pallas_bwd(
         # searchsorted — lowers to a 20-step while loop of 1-D gathers
         # (160 ms). The scatter-add scales with ns, so a right-sized
         # instance_capacity is the real lever.
-        per_g = jax.ops.segment_sum(grads[:ns], sorted_gid, num_segments=n)
+        per_rank = jax.ops.segment_sum(
+            grads[:ns], sorted_rank, num_segments=n
+        )
+        # back to id space: gaussian g's gradient lives at row rank[g] — a
+        # [N]-row gather, not a scatter
+        per_g = per_rank.at[rank].get(mode="promise_in_bounds")
         dm2 = per_g[:, 0:2]
         dcon = per_g[:, 2:5]
         dop = per_g[:, 5]
         ddep = per_g[:, 6]
         dfeat = per_g[:, HDR:HDR + c]
-        return (None, None, None, dm2, dcon, dop, dfeat, ddep, dbg)
+        return (None, None, None, None, None, dm2, dcon, dop, dfeat, ddep,
+                dbg)
 
     # jnp-autodiff fallback: rebuild the [T, K] lists and replay
     K = tile_capacity
-    ns = sorted_gid.shape[0]
+    ns = sorted_rank.shape[0]
+    sorted_gid = order.at[sorted_rank].get(mode="promise_in_bounds")
     k = jnp.arange(K, dtype=jnp.int32)[None, :]
     pos = jnp.clip(starts[:, None] + k, 0, ns - 1)
     idx = sorted_gid[pos]
@@ -745,7 +762,7 @@ def _blend_pallas_bwd(
     _, vjp = jax.vjp(ref_blend, means2d, conics, opacities, features,
                      depths, bg)
     dm2, dcon, dop, dfeat, ddep, dbg2 = vjp(BlendOutput(*g))
-    return (None, None, None, dm2, dcon, dop, dfeat, ddep, dbg2)
+    return (None, None, None, None, None, dm2, dcon, dop, dfeat, ddep, dbg2)
 
 
 blend_pallas.defvjp(_blend_pallas_fwd, _blend_pallas_bwd)

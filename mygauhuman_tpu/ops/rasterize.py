@@ -99,7 +99,9 @@ def rasterize(
     )
     if config.use_pallas:
         out = blend_pallas(
-            bins.sorted_gid,
+            bins.sorted_rank,
+            bins.order,
+            bins.rank,
             bins.starts,
             jnp.minimum(bins.counts, config.tile_capacity),  # match jnp K cap
             means2d,

@@ -113,8 +113,8 @@ def raster_strip_core(
     wlen = hi - lo
     exch_drop = jnp.sum(jnp.maximum(wlen - I_ex, 0)).astype(jnp.int32)
 
-    gid_pad = jnp.concatenate(
-        [bins.sorted_gid, jnp.zeros((I_ex,), jnp.int32)]
+    rank_pad = jnp.concatenate(
+        [bins.sorted_rank, jnp.zeros((I_ex,), jnp.int32)]
     )
     tile_pad = jnp.concatenate(
         [bins.sorted_tile, jnp.full((I_ex,), T, jnp.int32)]
@@ -123,19 +123,27 @@ def raster_strip_core(
     def window(arr, st):
         return jax.lax.dynamic_slice(arr, (st,), (I_ex,))
 
-    gid_w = jax.vmap(window, in_axes=(None, 0))(gid_pad, lo)
+    rank_w = jax.vmap(window, in_axes=(None, 0))(rank_pad, lo)
     tile_w_ids = jax.vmap(window, in_axes=(None, 0))(tile_pad, lo)
     lane = jnp.arange(I_ex, dtype=jnp.int32)[None, :]
     valid_w = lane < jnp.minimum(wlen, I_ex)[:, None]
     tile_w_ids = jnp.where(valid_w, tile_w_ids, T)
 
-    # instance payload: attribute columns (differentiable), global gid
+    # instance payload: attribute columns (differentiable), permuted ONCE
+    # to the shard's depth-rank order so the windows index it directly
+    # (binning's rank space — no id-recovery gather)
     attrs = attr_matrix(
         means2d, proj.conics, opacities, proj.depths, features
     )                                                   # [D, n_local]
-    data_w = attrs[:, gid_w]                            # [D, S_n, I_ex]
+    attrs = attrs.at[:, bins.order].get(mode="promise_in_bounds")
+    data_w = attrs[:, rank_w]                           # [D, S_n, I_ex]
     data_w = jnp.transpose(data_w, (1, 0, 2))           # [S_n, D, I_ex]
-    gid_g = shard * n_local + gid_w                     # global ids
+    # Deterministic merge tie-break id. shard*n_local + local depth rank:
+    # among equal-(tile, depth) instances this orders shard-major then
+    # local-rank-major, which equals global-gaussian-id order (shard slices
+    # are contiguous; a stable argsort breaks depth ties by id) — the same
+    # tie order as the single-device rank sort.
+    gid_g = shard * n_local + rank_w
 
     # ---- stage 3: the exchange (strip s's instances -> its owner)
     recv_data = jax.lax.all_to_all(

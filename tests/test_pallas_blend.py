@@ -49,7 +49,7 @@ def run_both(seed=0, bg_val=0.3):
     ref = blend(bins.idx, bins.valid, *args, width=W, height=H)
     counts = jnp.minimum(bins.counts, K)
     got = blend_pallas(
-        bins.sorted_gid, bins.starts, counts, *args,
+        bins.sorted_rank, bins.order, bins.rank, bins.starts, counts, *args,
         W, H, 16, 16, 64, K, True, True,   # interpret, kernel_bwd
     )
     return ref, got, (bins, args)
@@ -92,7 +92,7 @@ class TestPallasGradParity:
             return jnp.sum(out.image**2) + jnp.sum(out.alpha)
 
         def loss_pal(m2, con, op, feat):
-            out = blend_pallas(bins.sorted_gid, bins.starts, counts,
+            out = blend_pallas(bins.sorted_rank, bins.order, bins.rank, bins.starts, counts,
                                m2, con, op, feat,
                                proj.depths, bg, W, H, 16, 16, 64, K,
                                True, kernel_bwd)
@@ -145,7 +145,7 @@ class TestKernelBwdFullCotangents:
                     + jnp.sum(out.depth**2) + jnp.sum(out.final_t**2))
 
         def loss_pal(m2, con, op, feat, dep, bgc):
-            out = blend_pallas(bins.sorted_gid, bins.starts, counts,
+            out = blend_pallas(bins.sorted_rank, bins.order, bins.rank, bins.starts, counts,
                                m2, con, op, feat, dep, bgc,
                                W, H, 16, 16, 64, K, True, kernel_bwd)
             return (jnp.sum(out.image**2) + jnp.sum(out.alpha**2)
@@ -227,7 +227,7 @@ class TestRowModeKernel:
                     + jnp.sum(out.final_t**2))
 
         def loss_pal(m2, con, op, feat):
-            out = blend_pallas(bins.sorted_gid, bins.starts, counts,
+            out = blend_pallas(bins.sorted_rank, bins.order, bins.rank, bins.starts, counts,
                                m2, con, op, feat, proj.depths, bg0,
                                w, h, 16, 16, 64, K, True, True)
             return (jnp.sum(out.image**2) + jnp.sum(out.alpha**2)
