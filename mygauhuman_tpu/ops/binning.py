@@ -187,13 +187,18 @@ def bin_gaussians(
         jnp.where(live, jnp.maximum(touched - S, 0), 0)
     ).astype(jnp.int32)
 
-    # Enumerate up to S covered tiles per Gaussian: slot s -> (dx, dy) in rect.
-    s = jnp.arange(S, dtype=jnp.int32)[None, :]          # [1, S]
-    rw_safe = jnp.maximum(rw, 1)[:, None]                 # [N, 1]
+    # Enumerate up to S covered tiles per Gaussian: slot s -> (dx, dy) in
+    # rect. [S, N] orientation — lanes carry N (a multiple of 128, dense
+    # tiling); the [N, S] form put S=16 in lanes, which T(8,128) pads to
+    # 128 (8x physical size: six 40 us broadcasts at 64k capacity). The
+    # flat instance ordering changes (slot-major), but the sort consumes
+    # an unordered multiset — the sorted keys are bit-identical.
+    s = jnp.arange(S, dtype=jnp.int32)[:, None]          # [S, 1]
+    rw_safe = jnp.maximum(rw, 1)[None, :]                 # [1, N]
     dx = s % rw_safe
     dy = s // rw_safe
-    slot_ok = live[:, None] & (s < jnp.minimum(touched, S)[:, None])
-    tile_id = (min_y[:, None] + dy) * tw + (min_x[:, None] + dx)   # [N, S]
+    slot_ok = live[None, :] & (s < jnp.minimum(touched, S)[None, :])
+    tile_id = (min_y[None, :] + dy) * tw + (min_x[None, :] + dx)   # [S, N]
     tile_id = jnp.where(slot_ok, tile_id, T).astype(jnp.int32)     # sentinel T
 
     flat_tile = tile_id.reshape(-1)
@@ -233,7 +238,7 @@ def bin_gaussians(
             (order, jnp.arange(N, dtype=jnp.int32)),
             num_keys=1, is_stable=False,
         )
-        flat_rank = jnp.broadcast_to(rank[:, None], (N, S)).reshape(-1)
+        flat_rank = jnp.broadcast_to(rank[None, :], (S, N)).reshape(-1)
         key = flat_tile * rank_radix + flat_rank
         # Sort the key ALONE (a single-operand sort moves half the data of
         # the (key, gid) pair sort: 904 -> 446 us at 64k capacity) — the
@@ -258,10 +263,10 @@ def bin_gaussians(
     else:
         I = N * S
         flat_gid = jnp.broadcast_to(
-            jnp.arange(N, dtype=jnp.int32)[:, None], (N, S)
+            jnp.arange(N, dtype=jnp.int32)[None, :], (S, N)
         ).reshape(-1)
         flat_depth = jnp.broadcast_to(
-            depths[:, None], (N, S)
+            depths[None, :], (S, N)
         ).reshape(-1).astype(jnp.float32)
         sorted_tile, _, sorted_gid = jax.lax.sort(
             (flat_tile, flat_depth, flat_gid), num_keys=2

@@ -135,32 +135,47 @@ def _accumulate_tile(
     """Front-to-back blend of one tile's instance slice: returns
     (acc [2 + n_feat, P] = [d_sum; w_sum; features], final_t [P, 1]).
     Empty tiles (count == 0) cost one trip-count check and return the
-    background state (zeros, final_t = 1)."""
+    background state (zeros, final_t = 1).
+
+    Double-buffered: chunk_buf is [2, D, chunk]; chunk ci+1's DMA is in
+    flight while ci computes (the serial start/wait form left the VPU idle
+    for the full DMA latency every chunk)."""
     P = px.shape[0]
     base0 = (start // chunk) * chunk
     offset = start - base0
     n_chunks = pl.cdiv(offset + count, chunk)
 
+    def dma(ci, slot):
+        base = pl.multiple_of(base0 + ci * chunk, chunk)
+        return pltpu.make_async_copy(
+            data_ref.at[:, pl.ds(base, chunk)],
+            chunk_buf.at[slot],
+            sem.at[slot],
+        )
+
+    dma(0, 0).start()
+
     def body(ci, carry):
         acc, log_t = carry
-        base = pl.multiple_of(base0 + ci * chunk, chunk)
-        dma = pltpu.make_async_copy(
-            data_ref.at[:, pl.ds(base, chunk)], chunk_buf, sem
-        )
-        dma.start()
-        dma.wait()
+        slot = jax.lax.rem(ci, 2)
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            dma(ci + 1, 1 - slot).start()
+
+        dma(ci, slot).wait()
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         glane = ci * chunk + lane
         in_range = (
             (glane >= offset) & (glane < offset + count)
         ).astype(jnp.float32)
 
-        xy_x = chunk_buf[0:1, :]
-        xy_y = chunk_buf[1:2, :]
-        cxx = chunk_buf[2:3, :]
-        cxy = chunk_buf[3:4, :]
-        cyy = chunk_buf[4:5, :]
-        op = chunk_buf[5:6, :]
+        xy_x = chunk_buf[slot, 0:1, :]
+        xy_y = chunk_buf[slot, 1:2, :]
+        cxx = chunk_buf[slot, 2:3, :]
+        cxy = chunk_buf[slot, 3:4, :]
+        cyy = chunk_buf[slot, 4:5, :]
+        op = chunk_buf[slot, 5:6, :]
 
         dx = xy_x - px
         dy = xy_y - py
@@ -179,7 +194,7 @@ def _accumulate_tile(
         # rows [depth, ONES, feat...] x w -> [2 + nf, P]: depth sum,
         # weight sum and color accumulation in ONE MXU contraction
         acc = acc + jax.lax.dot_general(
-            chunk_buf[HDR - 2:, :], w,
+            chunk_buf[slot, HDR - 2:, :], w,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -187,9 +202,35 @@ def _accumulate_tile(
                                 keepdims=True)
         return acc, log_t
 
+    # Early termination (exact): t_after is monotone decreasing, so once
+    # every pixel has T < 1e-4 all later instances fail the include test —
+    # skipping their chunks changes nothing (parity: forward.cu:341-356's
+    # per-pixel done flag / block-wide contributor stop). Dense tiles at
+    # 32k+ Gaussians saturate after a fraction of their instance list.
+    log_eps = jnp.float32(-9.210340371976182)   # log(1e-4)
+
+    def cond(state):
+        ci, _, log_t = state
+        return (ci < n_chunks) & (jnp.max(log_t) >= log_eps)
+
+    def wbody(state):
+        ci, acc, log_t = state
+        acc, log_t = body(ci, (acc, log_t))
+        return ci + 1, acc, log_t
+
     acc0 = jnp.zeros((2 + n_feat, P), jnp.float32)
     zero1 = jnp.zeros((P, 1), jnp.float32)
-    acc, log_t = jax.lax.fori_loop(0, n_chunks, body, (acc0, zero1))
+    ci, acc, log_t = jax.lax.while_loop(
+        cond, wbody, (jnp.zeros((), jnp.int32), acc0, zero1)
+    )
+
+    # drain the in-flight prefetch if the loop exited early (body ci-1
+    # started DMA ci; every started DMA must be waited before the slot and
+    # semaphore are reused by the next tile)
+    @pl.when(ci < n_chunks)
+    def _():
+        dma(ci, jax.lax.rem(ci, 2)).wait()
+
     return acc, jnp.exp(log_t)
 
 
@@ -407,9 +448,9 @@ def blend_rows_raw(
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((D, chunk), jnp.float32),
+            pltpu.VMEM((2, D, chunk), jnp.float32),   # double-buffered
             pltpu.VMEM((c_stage, tile_h, TB * tile_w), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -495,9 +536,9 @@ def blend_tiles_raw(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),  # DMA-written per tile
         scratch_shapes=[
-            pltpu.VMEM((D, chunk), jnp.float32),
+            pltpu.VMEM((2, D, chunk), jnp.float32),   # double-buffered
             pltpu.VMEM((c_stage, P), jnp.float32),    # lane-major staging
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
