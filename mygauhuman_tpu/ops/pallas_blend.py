@@ -139,7 +139,15 @@ def _accumulate_tile(
 
     Double-buffered: chunk_buf is [2, D, chunk]; chunk ci+1's DMA is in
     flight while ci computes (the serial start/wait form left the VPU idle
-    for the full DMA latency every chunk)."""
+    for the full DMA latency every chunk).
+
+    TWO transmittance carries (spec: ops/blend.py:9-18): log_t_all sums
+    EVERY valid l1ma — the full cumprod whose t_after drives the include
+    test (this is what makes include == the CUDA sticky-done decision;
+    an include-gated carry would let the next chunk resurrect a saturated
+    pixel: frozen T stays >= 1e-4, so a small-alpha instance would pass
+    the test the spec fails) — while log_t_inc sums only INCLUDED l1ma
+    and is the final_t output (CUDA freezes T at done)."""
     P = px.shape[0]
     base0 = (start // chunk) * chunk
     offset = start - base0
@@ -156,7 +164,7 @@ def _accumulate_tile(
     dma(0, 0).start()
 
     def body(ci, carry):
-        acc, log_t = carry
+        acc, log_t_all, log_t_inc = carry
         slot = jax.lax.rem(ci, 2)
 
         @pl.when(ci + 1 < n_chunks)
@@ -185,7 +193,7 @@ def _accumulate_tile(
         a = jnp.where(ok, alpha, 0.0) * in_range
 
         l1ma = jnp.log1p(-a)
-        cum = _lane_cumsum(l1ma) + log_t
+        cum = _lane_cumsum(l1ma) + log_t_all
         t_after = jnp.exp(cum)
         t_before = jnp.exp(cum - l1ma)
         include = (a > 0.0) & (t_after >= 1e-4)
@@ -198,30 +206,32 @@ def _accumulate_tile(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        log_t = log_t + jnp.sum(jnp.where(include, l1ma, 0.0), axis=1,
-                                keepdims=True)
-        return acc, log_t
+        log_t_all = log_t_all + jnp.sum(l1ma, axis=1, keepdims=True)
+        log_t_inc = log_t_inc + jnp.sum(
+            jnp.where(include, l1ma, 0.0), axis=1, keepdims=True
+        )
+        return acc, log_t_all, log_t_inc
 
-    # Early termination (exact): t_after is monotone decreasing, so once
-    # every pixel has T < 1e-4 all later instances fail the include test —
-    # skipping their chunks changes nothing (parity: forward.cu:341-356's
-    # per-pixel done flag / block-wide contributor stop). Dense tiles at
-    # 32k+ Gaussians saturate after a fraction of their instance list.
+    # Early termination (exact): the full-cumprod t_after is monotone
+    # decreasing, so once every pixel's log_t_all < log(1e-4) all later
+    # instances fail the include test — skipping their chunks changes
+    # nothing (parity: forward.cu:341-356's per-pixel done flag / block
+    # contributor stop). Dense tiles saturate within their first chunk.
     log_eps = jnp.float32(-9.210340371976182)   # log(1e-4)
 
     def cond(state):
-        ci, _, log_t = state
-        return (ci < n_chunks) & (jnp.max(log_t) >= log_eps)
+        ci, _, log_t_all, _ = state
+        return (ci < n_chunks) & (jnp.max(log_t_all) >= log_eps)
 
     def wbody(state):
-        ci, acc, log_t = state
-        acc, log_t = body(ci, (acc, log_t))
-        return ci + 1, acc, log_t
+        ci, acc, log_t_all, log_t_inc = state
+        acc, log_t_all, log_t_inc = body(ci, (acc, log_t_all, log_t_inc))
+        return ci + 1, acc, log_t_all, log_t_inc
 
     acc0 = jnp.zeros((2 + n_feat, P), jnp.float32)
     zero1 = jnp.zeros((P, 1), jnp.float32)
-    ci, acc, log_t = jax.lax.while_loop(
-        cond, wbody, (jnp.zeros((), jnp.int32), acc0, zero1)
+    ci, acc, _, log_t_inc = jax.lax.while_loop(
+        cond, wbody, (jnp.zeros((), jnp.int32), acc0, zero1, zero1)
     )
 
     # drain the in-flight prefetch if the loop exited early (body ci-1
@@ -231,7 +241,7 @@ def _accumulate_tile(
     def _():
         dma(ci, jax.lax.rem(ci, 2)).wait()
 
-    return acc, jnp.exp(log_t)
+    return acc, jnp.exp(log_t_inc)
 
 
 def _blend_kernel(

@@ -126,24 +126,45 @@ def _blend_bwd_kernel(
             a = jnp.where(ok, alpha, 0.0) * in_range
             return a, (dx, dy, power, raw, ok, in_range)
 
-        # ---- pass 1: record per-chunk starting log T
-        def fwd_body(ci, log_t):
-            logt_buf[ci, :] = log_t[:, 0]
+        # ---- pass 1: record each chunk's starting FULL-cumprod log T
+        # (log_t_all — drives the include test; see the two-carry note in
+        # ops/pallas_blend.py::_accumulate_tile) and accumulate the
+        # included-only log_t_inc for final_t. Early-terminates exactly
+        # like the forward: once every pixel's log_t_all < log(1e-4) all
+        # later instances fail the include test — their gradients are
+        # exactly zero, so both passes skip those chunks (and must: their
+        # logt_buf rows are stale scratch from the previous tile).
+        log_eps = jnp.float32(-9.210340371976182)   # log(1e-4)
+
+        def fwd_cond(st):
+            ci, log_t_all, _ = st
+            return (ci < n_chunks) & (jnp.max(log_t_all) >= log_eps)
+
+        def fwd_body(st):
+            ci, log_t_all, log_t_inc = st
+            logt_buf[ci, :] = log_t_all[:, 0]
             a, _ = load_chunk(ci)
             l1ma = jnp.log1p(-a)
-            cum = _lane_cumsum(l1ma) + log_t
+            cum = _lane_cumsum(l1ma) + log_t_all
             include = (a > 0.0) & (jnp.exp(cum) >= 1e-4)
-            return log_t + jnp.sum(jnp.where(include, l1ma, 0.0), axis=1,
-                                   keepdims=True)
+            return (
+                ci + 1,
+                log_t_all + jnp.sum(l1ma, axis=1, keepdims=True),
+                log_t_inc + jnp.sum(jnp.where(include, l1ma, 0.0), axis=1,
+                                    keepdims=True),
+            )
 
         zero1 = jnp.zeros((P, 1), jnp.float32)
-        log_t_final = jax.lax.fori_loop(0, n_chunks, fwd_body, zero1)
-        final_t = jnp.exp(log_t_final)                      # [P, 1]
+        k_chunks, _, log_t_inc = jax.lax.while_loop(
+            fwd_cond, fwd_body, (jnp.zeros((), jnp.int32), zero1, zero1)
+        )
+        final_t = jnp.exp(log_t_inc)                        # [P, 1]
         tail = final_t * g_final_t                          # [P, 1]
 
-        # ---- pass 2: back-to-front gradient accumulation
+        # ---- pass 2: back-to-front gradient accumulation (k_chunks only;
+        # the skipped tail's grad rows stay zero via the aliased zero init)
         def bwd_body(k, s_carry):
-            ci = n_chunks - 1 - k
+            ci = k_chunks - 1 - k
             a, (dx, dy, power, raw, ok, in_range) = load_chunk(ci)
             l1ma = jnp.log1p(-a)
             log_t_start = logt_buf[ci, :][:, None]          # [P, 1]
@@ -245,7 +266,7 @@ def _blend_bwd_kernel(
 
             return s_carry + jnp.sum(wq, axis=1, keepdims=True)
 
-        jax.lax.fori_loop(0, n_chunks, bwd_body, zero1)
+        jax.lax.fori_loop(0, k_chunks, bwd_body, zero1)
 
     for ti in range(tiles_per_step):
         one_tile(ti)

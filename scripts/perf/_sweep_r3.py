@@ -39,8 +39,10 @@ for n_verts, cap, icap in ROWS:
     vstack = jax.device_put(jax.tree.map(lambda *xs: jnp.stack(xs), *views))
     params = jax.device_put(state.params)
 
-    @functools.partial(jax.jit, static_argnames=("n_frames",))
-    def sweep(params, vstack, n_frames):
+    @jax.jit
+    def sweep(params, vstack, n_frames):   # n_frames DYNAMIC: one program,
+                                           # and unique args defeat the
+                                           # tunnel's dispatch memoization
         def body(i, carry):
             cam, frame, tfs, tls = jax.tree.map(lambda x: x[i % V], vstack)
             eps = 1e-12 * i.astype(jnp.float32)
@@ -52,12 +54,17 @@ for n_verts, cap, icap in ROWS:
             return carry + out.render[0, 0, 0]
         return jax.lax.fori_loop(0, n_frames, body, jnp.zeros(()))
 
-    sweep(params, vstack, F).block_until_ready()
+    # warm with a different trip count and give every timed rep a unique
+    # one — the axon tunnel memoizes identical (program, args) dispatches
+    # (a repeat-timed rep once measured 0.000 ms)
+    sweep(params, vstack, 8).block_until_ready()
     best = float("inf")
-    for _ in range(3):
+    for rep in range(3):
+        n = F + 4 * rep
         t0 = time.perf_counter()
-        sweep(params, vstack, F).block_until_ready()
-        best = min(best, time.perf_counter() - t0)
-    ms = best / F * 1e3
+        sweep(params, vstack, n).block_until_ready()
+        best = min(best, (time.perf_counter() - t0) / n)
+    ms = best * 1e3
+    fps = 1.0 / best
     print(f"n={n_verts:6d} cap={cap:6d} icap={icap:7d}: {ms:6.3f} ms/frame  "
-          f"{F/best:7.1f} FPS  ({F/best/189:.2f}x baseline)", flush=True)
+          f"{fps:7.1f} FPS  ({fps/189:.2f}x baseline)", flush=True)

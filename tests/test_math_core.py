@@ -247,3 +247,31 @@ def test_projection_from_K_maps_corners():
     x = (256 - 128) * z / 300.0
     p = P @ np.array([x, 0, z, 1.0])
     np.testing.assert_allclose(p[0] / p[3], 1.0, atol=1e-6)
+
+
+def test_knn_pallas_kernel_parity():
+    """Pallas KNN (interpret) vs the blocked-XLA path: identical indices,
+    distances to f32 tolerance — incl. mask, exclude_self, and exact
+    duplicate-ref ties (first-occurrence tie-break)."""
+    from mygauhuman_tpu.ops.pallas_knn import knn_small_refs
+
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(700, 3)), jnp.float32)
+    r = jnp.asarray(rng.normal(size=(250, 3)), jnp.float32)
+    for k in (1, 2, 3):
+        d_x, i_x = knn(q, r, k=k, use_pallas=False)
+        d_p, i_p = knn_small_refs(q, r, k=k, interpret=True)
+        assert np.array_equal(np.asarray(i_x), np.asarray(i_p)), k
+        np.testing.assert_allclose(d_x, d_p, rtol=1e-5, atol=1e-6)
+    # mask + exclude_self
+    mask = jnp.asarray(rng.random(700) > 0.4)
+    d_x, i_x = knn(q, q, k=2, ref_mask=mask, exclude_self=True,
+                   use_pallas=False)
+    d_p, i_p = knn_small_refs(q, q, k=2, ref_mask=mask, exclude_self=True,
+                              interpret=True)
+    assert np.array_equal(np.asarray(i_x), np.asarray(i_p))
+    # exact ties from duplicated refs
+    rt = jnp.concatenate([r[:64], r[:64]])
+    _, i_x = knn(q, rt, k=3, use_pallas=False)
+    _, i_p = knn_small_refs(q, rt, k=3, interpret=True)
+    assert np.array_equal(np.asarray(i_x), np.asarray(i_p))

@@ -239,3 +239,67 @@ class TestRowModeKernel:
         for a, b in zip(g_ref, g_pal):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        atol=1e-4, rtol=1e-4)
+
+
+class TestEarlyTerminationSaturation:
+    """Dense high-opacity stacks saturate T < 1e-4 within the first chunk;
+    the fwd/bwd kernels' early termination must truncate EXACTLY (monotone
+    T: all later include-masks are false, so outputs and every gradient
+    match the non-terminating jnp spec bit-for-... well, to fp tolerance)."""
+
+    def _run(self, kernel_bwd):
+        rng = np.random.RandomState(3)
+        n = 300
+        # all gaussians piled into a small screen region, opacity ~0.97
+        means3d = np.concatenate(
+            [rng.randn(n, 2) * 0.05, 2.0 + rng.rand(n, 1)], axis=1
+        ).astype(np.float32)
+        scales = np.full((n, 3), 0.05, np.float32)
+        quats = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+        cov6 = strip_symmetric(covariance_from_scaling_rotation(
+            jnp.asarray(scales), jnp.asarray(quats)))
+        opac = jnp.full((n,), 0.97)
+        feats = jnp.asarray(rng.rand(n, C).astype(np.float32))
+        cam = make_camera(R=np.eye(3), t=np.array([0.0, 0.0, 3.0]),
+                          width=W, height=H, fovx=1.0, fovy=1.0)
+        proj = preprocess(jnp.asarray(means3d), cov6, cam.w2c, cam.full_proj,
+                          W, H, cam.tan_fovx, cam.tan_fovy)
+        bins = bin_gaussians(proj.means2d, proj.radii, proj.depths,
+                             proj.visible, width=W, height=H, tile_capacity=K)
+        bg = jnp.full((C,), 0.2)
+        args = (proj.means2d, proj.conics, opac, feats, proj.depths, bg)
+        counts = jnp.minimum(bins.counts, K)
+
+        def loss_pal(m2, con, op, feat):
+            out = blend_pallas(
+                bins.sorted_rank, bins.order, bins.rank, bins.starts, counts,
+                m2, con, op, feat, proj.depths, bg,
+                W, H, 16, 16, 64, K, True, kernel_bwd)
+            return (jnp.sum(out.image * out.image) + jnp.sum(out.alpha)
+                    + jnp.sum(out.depth * 0.3) + jnp.sum(out.final_t * 0.7))
+
+        def loss_ref(m2, con, op, feat):
+            out = blend(bins.idx, bins.valid, m2, con, op, feat,
+                        proj.depths, bg, width=W, height=H)
+            return (jnp.sum(out.image * out.image) + jnp.sum(out.alpha)
+                    + jnp.sum(out.depth * 0.3) + jnp.sum(out.final_t * 0.7))
+
+        # saturation really happens (otherwise this test is vacuous):
+        # final_t bottoms out just above 1e-4 by construction (include
+        # freezes it there), so assert the saturation region is reached
+        # AND at least one tile spans multiple kernel chunks — i.e. the
+        # early-termination path actually skips chunk work.
+        out = blend(bins.idx, bins.valid, *args, width=W, height=H)
+        assert float(jnp.min(out.final_t)) < 2e-4
+        assert int(jnp.max(bins.counts)) > 256
+
+        gp = jax.grad(loss_pal, argnums=(0, 1, 2, 3))(*args[:4])
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(*args[:4])
+        for a, b in zip(gp, gr):
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+    def test_kernel_bwd(self):
+        self._run(True)
+
+    def test_jnp_bwd(self):
+        self._run(False)
