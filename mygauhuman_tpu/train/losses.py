@@ -211,3 +211,17 @@ def predicted_normal_loss(
         weight = jnp.ones(normal.shape[:2], normal.dtype)
     dot = jnp.sum(normal * jax.lax.stop_gradient(normal_ref), axis=-1)
     return jnp.mean(weight * (1.0 - dot))
+
+
+def latent_kl_loss(latent_values: jnp.ndarray, rho: float = 0.05) -> jnp.ndarray:
+    """Sparsity KL for latent BRDF codes (Bernoulli KL against a target
+    activation rate rho over sigmoid'd latents).
+
+    Parity: utils/loss_utils.py get_kl_loss/kl_divergence (:92-100) —
+    shipped for the latent-BRDF surface (nets/brdf_network.py, inactive in
+    the reference's published configs; see models/brdf_mlp.py)."""
+    rho_hat = jnp.mean(jax.nn.sigmoid(latent_values.reshape(-1, 32)), axis=0)
+    return jnp.mean(
+        rho * jnp.log(rho / rho_hat)
+        + (1.0 - rho) * jnp.log((1.0 - rho) / (1.0 - rho_hat))
+    )

@@ -226,3 +226,20 @@ class TestTrainStep:
         assert int(info["alive"]) == int(ts2.gauss.num_alive)
         assert int(ts2.gauss.num_alive) != n_before or True  # ran without error
         assert float(jnp.sum(ts2.gauss.xyz_grad_accum)) == 0.0
+
+
+def test_latent_kl_loss():
+    """Parity shape/behavior: matches a numpy transcription of the
+    reference kl_divergence (loss_utils.py:92-100) and is ~0 at the
+    target activation rate."""
+    rng = np.random.RandomState(0)
+    lat = jnp.asarray(rng.randn(8, 32).astype(np.float32))
+    got = float(L.latent_kl_loss(lat))
+    rho = 0.05
+    rho_hat = (1 / (1 + np.exp(-np.asarray(lat)))).mean(0)
+    want = float(np.mean(rho * np.log(rho / rho_hat)
+                         + (1 - rho) * np.log((1 - rho) / (1 - rho_hat))))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # a latent whose sigmoid mean equals rho has ~zero divergence
+    at_rho = jnp.full((4, 32), float(np.log(0.05 / 0.95)))
+    assert float(L.latent_kl_loss(at_rho)) < 1e-6
