@@ -20,7 +20,7 @@ from mygauhuman_tpu.ops.rasterize import RasterizerConfig
 from mygauhuman_tpu.train.trainer import create_train_state, make_train_step
 
 CAP = 65536
-rc = RasterizerConfig(use_pallas=True, instance_capacity=8 * CAP)
+rc = RasterizerConfig(use_pallas=True, instance_capacity=4 * CAP)
 scene = make_synthetic_scene(n_views=4, width=512, height=512, n_verts=6890,
                              capacity=CAP, raster_config=rc)
 cfg = OptimizationConfig()
