@@ -111,8 +111,12 @@ def build_image_pyramid(source_path: str) -> None:
             print(f"[convert] skipping unreadable file {name}", flush=True)
             continue
         for factor in (2, 4, 8):
-            h = max(1, round(img.shape[0] / factor))
-            w = max(1, round(img.shape[1] / factor))
+            # half-UP rounding (int(x + 0.5)), matching ImageMagick's
+            # '-resize 50%' used by the reference convert.py — Python's
+            # round() is half-to-even and yields off-by-one dims on odd
+            # sizes (1001 -> 500 instead of 501)
+            h = max(1, int(img.shape[0] / factor + 0.5))
+            w = max(1, int(img.shape[1] / factor + 0.5))
             small = cv2.resize(img, (w, h), interpolation=cv2.INTER_AREA)
             cv2.imwrite(os.path.join(source_path, f"images_{factor}", name), small)
 

@@ -44,8 +44,10 @@ def main(argv=None) -> dict:
     os.makedirs(args.output_root, exist_ok=True)
     with open(summary_path, "w") as f:
         json.dump(results, f, indent=2)
-    print(json.dumps({k: {m: v[m] for m in ("psnr", "ssim", "lpips", "fps")}
-                      for k, v in results.items()}, indent=2))
+    print(json.dumps(
+        {k: {m: v[m] for m in ("psnr", "ssim", "lpips", "lpips_rand", "fps")
+             if m in v}
+         for k, v in results.items()}, indent=2))
     return results
 
 

@@ -18,8 +18,9 @@ def main(argv=None) -> dict:
     enable_persistent_cache()
 
     result = evaluate_dirs(args.renders_dir, args.gt_dir, args.out)
+    lkey = "lpips" if "lpips" in result else "lpips_rand"
     print(f"PSNR {result['psnr']:.2f}  SSIM {result['ssim']:.4f}  "
-          f"LPIPS {result['lpips']:.4f}")
+          f"{lkey.upper()} {result[lkey]:.4f}")
     return result
 
 

@@ -126,10 +126,10 @@ def main(argv=None) -> dict:
     start = time.time()
     for bi, batch in enumerate(batches):
         kwargs = {}
-        # replay cache keyed by pose_id (train.py:548-552 keys smpl_rot by
-        # pose); str(bi) fallback reads round-1-era caches
-        ck = str(pose_ids[bi]) if str(pose_ids[bi]) in (cache or {}) \
-            else str(bi)
+        # replay cache keyed by pose_id only (train.py:548-552 keys smpl_rot
+        # by pose); the cache format is versioned (load_eval_cache rejects
+        # round-1-era index-keyed files), so no index fallback exists
+        ck = str(pose_ids[bi])
         if cache is not None and ck in cache:
             # cached rows are in alive-compacted (PLY) order; pad dead
             # slots with zeros (masked by `alive` in preprocess) or slice
@@ -178,9 +178,10 @@ def main(argv=None) -> dict:
     metrics["fps"] = fps
     with open(os.path.join(out_dir, "results.json"), "w") as f:
         json.dump(metrics, f, indent=2)
+    lkey = "lpips" if "lpips" in metrics else "lpips_rand"
     print(f"rendered {len(batches)} views at {fps:.1f} FPS | "
           f"PSNR {metrics['psnr']:.2f} SSIM {metrics['ssim']:.3f} "
-          f"LPIPS {metrics['lpips']:.3f}")
+          f"{lkey.upper()} {metrics[lkey]:.3f}")
     return metrics
 
 

@@ -290,7 +290,9 @@ def main(argv=None) -> dict:
             "ssim": ssim_fn(render, gt),
         }
         if lpips_obj is not None:
-            m["lpips"] = lpips_obj(render, gt)
+            # key is "lpips_rand" for the random-VGG fallback (honesty:
+            # not comparable to published LPIPS without pretrained weights)
+            m[lpips_obj.metric_name] = lpips_obj(render, gt)
         return m
 
     def run_eval(it, ts):
@@ -304,10 +306,15 @@ def main(argv=None) -> dict:
             "train": list(enumerate(train_batches[:4])),
         }
         test_psnr = 0.0
+        # Alive mask fetched ONCE per eval, not per view: the state does not
+        # change inside run_eval, and a per-view device_get costs a full
+        # remote-tunnel round trip each (seconds over 17+ test views).
+        alive_idx = np.nonzero(
+            np.asarray(jax.device_get(ts.gauss.alive)))[0]
         for split, items in splits.items():
             if not items:
                 continue
-            rows = {"l1": [], "psnr": [], "ssim": [], "lpips": []}
+            rows: dict = {}
             gdir = os.path.join(out_dir, f"eval_{it}", split)
             if not args.skip_galleries:
                 os.makedirs(gdir, exist_ok=True)
@@ -321,7 +328,7 @@ def main(argv=None) -> dict:
                 m = jax.device_get(
                     _eval_metrics(out.render, batch.gt_image))
                 for k, v in m.items():
-                    rows[k].append(float(v))
+                    rows.setdefault(k, []).append(float(v))
                 if split == "test":
                     # keyed by pose_id (reference keys smpl_rot by pose,
                     # train.py:548-552) so replay survives reordering.
@@ -329,8 +336,6 @@ def main(argv=None) -> dict:
                     # same order save_ply writes — so the replay stays
                     # aligned with a load_ply/compact_state'd state even
                     # when pruning left holes in the slot space.
-                    alive_idx = np.nonzero(
-                        np.asarray(jax.device_get(ts.gauss.alive)))[0]
                     eval_cache[str(pose_id)] = {
                         "transforms": np.asarray(out.transforms)[alive_idx],
                         "translation": np.asarray(out.translation)[alive_idx],
@@ -438,12 +443,15 @@ def main(argv=None) -> dict:
 
         pbr_state, light_tx = create_pbr_state(cfg)
         pbr_step = make_pbr_train_step(
-            smpl_model, tx, light_tx, cfg, raster_cfg, bg=bg
+            smpl_model, tx, light_tx, cfg, raster_cfg, bg=bg,
+            lpips_fn=lpips_obj,
         )
 
         def pbr_callback(it, ts2, pbr2, m):
             nonlocal last_psnr
-            if it % 100 == 0:
+            # chunked mode already fires once per chunk; unchunked (GUI)
+            # mode logs on the phase-A cadence
+            if scan_chunk > 1 or it % 100 == 0:
                 logger.log(it, m, prefix="pbr")
             if it in args.test_iterations:
                 last_psnr = run_eval(it, ts2)
@@ -451,6 +459,13 @@ def main(argv=None) -> dict:
                 save_checkpoint(out_dir, it, (ts2, pbr2), Config(optim=cfg))
                 save_ply(ts2.gauss,
                          os.path.join(out_dir, f"point_cloud_{it}.ply"))
+                save_eval_cache(
+                    os.path.join(out_dir, f"smpl_rot_{it}.npz"), eval_cache)
+                # persist the optimized light for --relight-free PBR renders
+                from mygauhuman_tpu.pbr.light import export_envmap
+
+                np.save(os.path.join(out_dir, f"envmap_{it}.npy"),
+                        np.asarray(export_envmap(pbr2.light, 64, 128)))
 
         ts, pbr_state, metrics = train_loop_pbr(
             ts, pbr_state, pbr_step, train_batches, smpl_model, cfg,
@@ -458,6 +473,9 @@ def main(argv=None) -> dict:
             num_iterations=cfg.iterations - phase_a_iters,
             max_sh_degree=args.sh_degree, seed=args.seed,
             callback=pbr_callback,
+            scan_chunk=scan_chunk,
+            callback_iters=tuple(sorted(set(args.test_iterations)
+                                        | set(args.save_iterations))),
         )
     elapsed = time.time() - start
     print(f"training done: {cfg.iterations} iters in {elapsed:.1f}s "

@@ -202,10 +202,17 @@ def lpips_distance(
 
 
 class LPIPS:
-    """Convenience wrapper: `lpips = LPIPS(); lpips(img1, img2)`."""
+    """Convenience wrapper: `lpips = LPIPS(); lpips(img1, img2)`.
+
+    `metric_name` is the honest report key: "lpips" only when pretrained
+    weights were loaded; the deterministic random-VGG fallback reports as
+    "lpips_rand" so its numbers are never mistaken for published LPIPS.
+    """
 
     def __init__(self, weights_file: str | None = None, key=None):
         self.params = init_lpips(key=key, weights_file=weights_file)
+        self.pretrained = weights_file is not None
+        self.metric_name = "lpips" if self.pretrained else "lpips_rand"
         self._fn = jax.jit(functools.partial(lpips_distance, self.params))
 
     def __call__(self, img1, img2):

@@ -22,6 +22,9 @@ def evaluate_images(
     lpips_model: LPIPS | None = None,
 ) -> dict:
     lpips_model = lpips_model or LPIPS()
+    # Honest key: "lpips" only with pretrained weights; "lpips_rand" for the
+    # deterministic random-VGG backbone (not comparable to published LPIPS).
+    lkey = getattr(lpips_model, "metric_name", "lpips")
     names = names or [str(i) for i in range(len(renders))]
     per_image = {}
     psnrs, ssims, lpipss = [], [], []
@@ -31,14 +34,14 @@ def evaluate_images(
         p = float(psnr(r, g))
         s = float(ssim(r, g))
         l = float(lpips_model(r, g))
-        per_image[name] = {"psnr": p, "ssim": s, "lpips": l}
+        per_image[name] = {"psnr": p, "ssim": s, lkey: l}
         psnrs.append(p)
         ssims.append(s)
         lpipss.append(l)
     return {
         "psnr": float(np.mean(psnrs)) if psnrs else 0.0,
         "ssim": float(np.mean(ssims)) if ssims else 0.0,
-        "lpips": float(np.mean(lpipss)) if lpipss else 0.0,
+        lkey: float(np.mean(lpipss)) if lpipss else 0.0,
         "per_image": per_image,
     }
 

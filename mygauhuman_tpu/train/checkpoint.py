@@ -95,9 +95,12 @@ def latest_step(ckpt_dir: str) -> int | None:
 # Eval replay cache (smpl_rot.pickle parity, train.py:548-552)
 # ----------------------------------------------------------------------------
 
+EVAL_CACHE_VERSION = 2  # v2: keys are pose ids (never batch indices)
+
+
 def save_eval_cache(path: str, cache: dict) -> None:
     """cache: {pose_id: {"transforms": [cap,3,3], "translation": [cap,3]}}"""
-    flat = {}
+    flat = {"__version__": np.int32(EVAL_CACHE_VERSION)}
     for pose_id, d in cache.items():
         flat[f"{pose_id}_transforms"] = np.asarray(d["transforms"])
         flat[f"{pose_id}_translation"] = np.asarray(d["translation"])
@@ -106,9 +109,19 @@ def save_eval_cache(path: str, cache: dict) -> None:
 
 
 def load_eval_cache(path: str) -> dict:
+    """Returns {pose_id: rows}. Versioned: round-1-era caches (no
+    `__version__` field) were keyed by batch *index*, a silent
+    wrong-transform hazard when an index collides with a real pose id —
+    they are rejected with a re-run instruction instead of misread."""
     data = np.load(path)
+    if "__version__" not in data.files:
+        raise ValueError(
+            f"{path} is an unversioned (round-1-era, index-keyed) replay "
+            "cache; re-run training to regenerate a pose-keyed cache")
     cache: dict = {}
     for key in data.files:
+        if key == "__version__":
+            continue
         pose_id, kind = key.rsplit("_", 1)
         cache.setdefault(pose_id, {})[kind] = data[key]
     return cache

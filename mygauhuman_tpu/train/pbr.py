@@ -163,7 +163,7 @@ def compute_losses_pbr(
         "loss": total,
         "l1": ll1,
         "ssim": ssim_val,
-        "lpips": lpips_val,
+        "lpips_term": lpips_val,   # loss-term value, backbone-agnostic
         "brdf_tv": brdf_tv,
         "entropy": entropy,
         "smooth": smooth,
@@ -185,11 +185,18 @@ def make_pbr_train_step(
 ):
     """Jitted PBR step: materials (albedo/roughness via the scene optimizer)
     + light/volumes (light optimizer). Geometry gradients are zeroed exactly
-    as update_learning_rate freezes them (gaussian_model.py:289-307)."""
+    as update_learning_rate freezes them (gaussian_model.py:289-307).
+
+    The returned `step` also carries `step.chunk`, a fori_loop program that
+    runs up to K iterations in ONE dispatch over a device-resident [V, ...]
+    view stack + [V, cap, H, W, 1] baked-occlusion stack, recomputing the
+    grayscale environment modulation from the CURRENT light inside the jit
+    region each trip (the eager per-iteration `export_envmap` + single-step
+    dispatch pattern cost 105-524 ms/iter of pure tunnel latency, PERF.md).
+    """
     brdf_lut = get_brdf_lut()
 
-    @functools.partial(jax.jit, static_argnums=(6,))
-    def step(
+    def _step_impl(
         ts: TrainState,
         pbr_state: PbrState,
         batch: TrainBatch,
@@ -271,6 +278,61 @@ def make_pbr_train_step(
         )
         return new_ts, new_pbr, metrics
 
+    _step = functools.partial(jax.jit, static_argnums=(6,))(_step_impl)
+
+    def step(ts, pbr_state, batch, knn3, occlusion_color, prefilter_w,
+             active_sh_degree: int):
+        return _step(ts, pbr_state, batch, knn3, occlusion_color,
+                     prefilter_w, int(active_sh_degree))
+
+    from mygauhuman_tpu.occlusion.baking import occlusion_color as occ_color
+    from mygauhuman_tpu.pbr.light import export_envmap as _export_env
+
+    @functools.partial(jax.jit, static_argnums=(8,))
+    def _chunk(ts, pbr_state, views, occ_stack, knn3, prefilter_w,
+               idx, n, active_sh_degree):
+        """Up to len(idx) PBR iterations in ONE dispatch (mirrors the phase-A
+        chunk program, trainer.py): dynamic-trip fori_loop, traced trip
+        count `n` so every chunk length shares one executable. Each trip
+        gathers its view + its camera's baked [cap, H, W, 1] occlusion map
+        on device and re-derives the occlusion modulation color from the
+        trip's CURRENT light (train.py:196-198 does this eagerly per step)."""
+        bh, bw = occ_stack.shape[2], occ_stack.shape[3]
+        mshape = jax.eval_shape(
+            lambda ts, pbr, b, occ: _step_impl(
+                ts, pbr, b, knn3,
+                occ_color(occ, jnp.zeros((bh, bw, 1))),
+                prefilter_w, active_sh_degree)[2],
+            ts, pbr_state,
+            jax.tree_util.tree_map(lambda x: x[0], views), occ_stack[0])
+        mbuf = jax.tree_util.tree_map(
+            lambda s: jnp.zeros((idx.shape[0],) + s.shape, s.dtype), mshape)
+
+        def body(t, carry):
+            ts, pbr, mbuf = carry
+            batch = jax.tree_util.tree_map(lambda x: x[idx[t]], views)
+            env = _export_env(pbr.light, bh, bw)
+            env_gray = jnp.mean(env, axis=-1, keepdims=True)
+            occ_col = occ_color(occ_stack[idx[t]], env_gray)
+            ts, pbr, m = _step_impl(
+                ts, pbr, batch, knn3, occ_col, prefilter_w, active_sh_degree)
+            mbuf = jax.tree_util.tree_map(
+                lambda buf, v: buf.at[t].set(v), mbuf, m)
+            return ts, pbr, mbuf
+
+        return jax.lax.fori_loop(0, n, body, (ts, pbr_state, mbuf))
+
+    def chunk(ts, pbr_state, views, occ_stack, knn3, prefilter_w, idx,
+              active_sh_degree: int, pad_to: int = 0):
+        n = len(idx)
+        pad_to = max(pad_to, n)
+        idx = list(idx) + [0] * (pad_to - n)
+        ts, pbr_state, mseq = _chunk(
+            ts, pbr_state, views, occ_stack, knn3, prefilter_w,
+            jnp.asarray(idx, jnp.int32), jnp.int32(n), int(active_sh_degree))
+        return ts, pbr_state, (mseq, n)
+
+    step.chunk = chunk
     return step
 
 
@@ -289,18 +351,30 @@ def train_loop_pbr(
     bake_height: int = 16,
     bake_width: int = 32,
     callback=None,
+    scan_chunk: int = 1,
+    callback_iters: tuple = (),
 ):
     """PBR-phase loop (train.py iter > pbr_iteration): per-camera occlusion
     maps are baked once on first visit (view.set_occlusion parity,
     gaussian_renderer/__init__.py:152-160) and modulated by the CURRENT
-    grayscale envmap each step (train.py:196-198)."""
+    grayscale envmap each step (train.py:196-198).
+
+    scan_chunk > 1 dispatches up to that many iterations per jitted call via
+    `step_fn.chunk` — the envmap export + occlusion modulation move inside
+    the jit region (the eager-per-step form was dispatch-bound, PERF.md).
+    Baked occlusion maps live in one device-resident [V, cap, H, W, 1]
+    stack (cap·H·W·4 bytes per camera — at 64k capacity that is 128 MB per
+    view, so full-scale multi-hundred-view scenes should keep scan_chunk
+    modest or rely on the lazy bake visiting few cameras). Chunks never
+    cross an SH-degree change or an iteration in `callback_iters`, so the
+    schedule is identical to scan_chunk=1.
+    """
     import numpy as np
 
     from mygauhuman_tpu.occlusion.baking import bake_occlusion, occlusion_color
-    from mygauhuman_tpu.pbr.light import export_envmap
+    from mygauhuman_tpu.pbr.light import export_envmap, prefilter_weight_set
     from mygauhuman_tpu.render import render_frame
-
-    from mygauhuman_tpu.pbr.light import prefilter_weight_set
+    from mygauhuman_tpu.utils.transforms import rot_apply
 
     host_rng = np.random.RandomState(seed + 7)
     # constant GGX/cosine prefilter matrices, computed ONCE (not per step)
@@ -308,51 +382,96 @@ def train_loop_pbr(
         jnp.asarray, prefilter_weight_set(pbr_state.light["base"].shape[1])
     )
     knn3 = compute_knn3(ts.gauss)
-    occ_cache: dict = {}
     stack: list = []
     metrics: dict = {}
+    bake_oob_total = 0            # baked-but-out-of-budget Gaussians, summed
+    baked: set = set()
+    chunked = scan_chunk > 1 and hasattr(step_fn, "chunk")
+    cb_set = set(int(i) for i in callback_iters)
+    cap = ts.gauss.capacity
+    if chunked:
+        views = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
+        occ_stack = jnp.zeros(
+            (len(batches), cap, bake_height, bake_width, 1), jnp.float32)
+    else:
+        occ_cache: dict = {}
 
-    for it in range(start_iteration + 1, start_iteration + num_iterations + 1):
+    @jax.jit
+    def _bake(ts, batch):
+        """Geometry is frozen in phase B, so the LBS transforms (and hence
+        the bake) are per-camera constants; SH degree does not affect them."""
+        out = render_frame(
+            ts.gauss, batch.camera, batch.frame, smpl_model,
+            bg=jnp.zeros(3), active_sh_degree=0,
+            mlp_params={"pose_refiner": ts.pose_refiner,
+                        "lbs_offset": ts.lbs_offset},
+        )
+        cov6 = G.get_covariance6(ts.gauss.params, 1.0, out.transforms)
+        means_posed = rot_apply(
+            out.transforms, ts.gauss.params.xyz
+        ) + out.translation
+        world_nrm = rot_apply(out.transforms, ts.gauss.params.normal)
+        return jax.lax.stop_gradient(bake_occlusion(
+            means_posed, cov6,
+            G.get_opacity(ts.gauss.params)[:, 0],
+            world_nrm,
+            ts.gauss.alive,
+            height=bake_height, width=bake_width,
+        ))
+
+    def ensure_baked(bi):
+        """Bake camera bi's per-Gaussian visibility envmaps once; count the
+        out-of-budget truncation (never silent — VERDICT r1 #4 / r3 #7)."""
+        nonlocal bake_oob_total, occ_stack
+        if bi in baked:
+            return
+        occ, bake_oob = _bake(ts, batches[bi])
+        bake_oob_total += int(bake_oob)
+        if chunked:
+            occ_stack = occ_stack.at[bi].set(occ)
+        else:
+            occ_cache[bi] = occ
+        baked.add(bi)
+
+    def pick_index():
+        nonlocal stack
         if not stack:
             stack = list(range(len(batches)))
-        bi = stack.pop(host_rng.randint(len(stack)))
-        batch = batches[bi]
+        return stack.pop(host_rng.randint(len(stack)))
 
-        if bi not in occ_cache:
-            # bake this camera's per-Gaussian visibility envmaps once
-            out = render_frame(
-                ts.gauss, batch.camera, batch.frame, smpl_model,
-                bg=jnp.zeros(3),
-                active_sh_degree=min(it // 1000, max_sh_degree),
-                mlp_params={"pose_refiner": ts.pose_refiner,
-                            "lbs_offset": ts.lbs_offset},
-            )
-            from mygauhuman_tpu.utils.transforms import rot_apply
+    def chunk_end(it):
+        end = min(it + scan_chunk - 1, start_iteration + num_iterations)
+        end = min(end, (it // 1000 + 1) * 1000 - 1)   # static SH per chunk
+        for e in range(it, end + 1):
+            if e in cb_set:
+                return e
+        return end
 
-            cov6 = G.get_covariance6(ts.gauss.params, 1.0, out.transforms)
-            means_posed = rot_apply(
-                out.transforms, ts.gauss.params.xyz
-            ) + out.translation
-            world_nrm = rot_apply(out.transforms, ts.gauss.params.normal)
-            occ, bake_oob = jax.lax.stop_gradient(bake_occlusion(
-                means_posed, cov6,
-                G.get_opacity(ts.gauss.params)[:, 0],
-                world_nrm,
-                ts.gauss.alive,
-                height=bake_height, width=bake_width,
-            ))
-            occ_cache[bi] = occ
-            # bake-budget truncation: counted, never silent (VERDICT r1 #4)
-            metrics["bake_out_of_budget"] = int(bake_oob)
-
-        env = export_envmap(pbr_state.light, bake_height, bake_width)
-        env_gray = jnp.mean(env, axis=-1, keepdims=True)
-        occ_col = occlusion_color(occ_cache[bi], env_gray)
-
+    it = start_iteration + 1
+    while it <= start_iteration + num_iterations:
         deg = min(it // 1000, max_sh_degree)
-        ts, pbr_state, metrics = step_fn(
-            ts, pbr_state, batch, knn3, occ_col, prefilter_w, deg
-        )
+        if chunked:
+            end = chunk_end(it)
+            idx = [pick_index() for _ in range(end - it + 1)]
+            for bi in idx:
+                ensure_baked(bi)
+            ts, pbr_state, (mseq, n) = step_fn.chunk(
+                ts, pbr_state, views, occ_stack, knn3, prefilter_w, idx,
+                deg, pad_to=scan_chunk)
+            metrics = jax.tree_util.tree_map(lambda x: x[n - 1], mseq)
+            it = end
+        else:
+            bi = pick_index()
+            ensure_baked(bi)
+            env = export_envmap(pbr_state.light, bake_height, bake_width)
+            env_gray = jnp.mean(env, axis=-1, keepdims=True)
+            occ_col = occlusion_color(occ_cache[bi], env_gray)
+            ts, pbr_state, metrics = step_fn(
+                ts, pbr_state, batches[bi], knn3, occ_col, prefilter_w, deg
+            )
+        metrics = dict(metrics)
+        metrics["bake_out_of_budget"] = bake_oob_total
         if callback is not None:
             callback(it, ts, pbr_state, metrics)
+        it += 1
     return ts, pbr_state, metrics

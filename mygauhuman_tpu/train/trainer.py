@@ -162,7 +162,9 @@ def compute_losses_a(
         "normal": normal_loss,
         "axis": axis_loss,
         "ssim": ssim_val,
-        "lpips": lpips_val,
+        # loss-TERM value (whatever backbone lpips_fn uses — random-VGG by
+        # default); named to never collide with the published-LPIPS metric
+        "lpips_term": lpips_val,
         "tv": tv,
         "scaling_mean": scaling_mean,
         "psnr": L.psnr(out.render, batch.gt_image),

@@ -18,7 +18,7 @@ def _make_stub_colmap(tmp_path):
     """A fake colmap that logs its argv and mimics the undistorter output."""
     log = tmp_path / "colmap_calls.log"
     script = tmp_path / "colmap"
-    script.write_text(f"""#!/bin/bash
+    script.write_text(f"""#!/bin/sh
 echo "$@" >> {log}
 if [ "$1" = "image_undistorter" ]; then
   # --output_path is the 8th token; write the model files the real
@@ -91,3 +91,11 @@ def test_image_pyramid(tmp_path):
     convert.build_image_pyramid(str(scene))
     out = cv2.imread(str(scene / "images_2" / "const.png"))
     assert np.all(out == 200)
+    # odd dims round half UP (ImageMagick '-resize 50%' semantics):
+    # 101 -> 51 at /2, 101 -> 25 at /4 (25.25 truncates), 13 at /8
+    odd = np.zeros((101, 13, 3), np.uint8)
+    cv2.imwrite(str(scene / "images" / "odd.png"), odd)
+    convert.build_image_pyramid(str(scene))
+    assert cv2.imread(str(scene / "images_2" / "odd.png")).shape == (51, 7, 3)
+    assert cv2.imread(str(scene / "images_4" / "odd.png")).shape == (25, 3, 3)
+    assert cv2.imread(str(scene / "images_8" / "odd.png")).shape == (13, 2, 3)
