@@ -67,8 +67,13 @@ def make_hybrid_mesh(
         arr = np.asarray(jax.devices()).reshape(per_host_shape)
         return Mesh(arr, axis_names)
     dcn_shape = (n_hosts,) + (1,) * (len(per_host_shape) - 1)
+    # process_is_granule: one granule per host process. TPU pods also set a
+    # slice_index, but a multi-host run of THIS framework always maps one
+    # process per host/slice, and CPU validation clusters have no
+    # slice_index at all — process is the right DCN granule for both.
     devices = mesh_utils.create_hybrid_device_mesh(
-        per_host_shape, dcn_shape, devices=jax.devices()
+        per_host_shape, dcn_shape, devices=jax.devices(),
+        process_is_granule=True,
     )
     # hybrid mesh returns [data*host, gauss, tiles]-shaped device array
     return Mesh(devices, axis_names)
