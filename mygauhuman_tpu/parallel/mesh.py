@@ -99,24 +99,30 @@ def make_mesh(
     return Mesh(arr, ("data", "gauss"))
 
 
-def _shard_leaf_by_capacity(mesh: Mesh, capacity: int):
-    """Leaves with leading dim == capacity shard over "gauss"; others
-    replicate. Works for GaussianState, optimizer states, and grads."""
+def state_sharding(mesh: Mesh, tree: Any, capacity: int):
+    """Sharding pytree for a TrainState/GaussianState-shaped tree: leaves on
+    a per-Gaussian path (`gauss`/`gaussians` subtrees) with leading dim ==
+    capacity shard over "gauss"; everything else (incl. MLP layers, whose
+    width can equal a small capacity) replicates."""
+    from mygauhuman_tpu.train.optim import is_gaussian_path
+
     gauss = NamedSharding(mesh, P("gauss"))
     rep = NamedSharding(mesh, P())
+    # a bare GaussianState/GaussianParams tree has no `gauss` ancestor —
+    # treat every leaf as per-Gaussian then
+    bare = not any(
+        is_gaussian_path(p)
+        for p, _ in jax.tree_util.tree_leaves_with_path(tree)
+    )
 
-    def spec(leaf):
-        if hasattr(leaf, "shape") and leaf.ndim >= 1 and leaf.shape[0] == capacity:
+    def spec(path, leaf):
+        if (hasattr(leaf, "shape") and leaf.ndim >= 1
+                and leaf.shape[0] == capacity
+                and (bare or is_gaussian_path(path))):
             return gauss
         return rep
 
-    return spec
-
-
-def state_sharding(mesh: Mesh, tree: Any, capacity: int):
-    """Sharding pytree for a TrainState/GaussianState-shaped tree."""
-    spec = _shard_leaf_by_capacity(mesh, capacity)
-    return jax.tree_util.tree_map(spec, tree)
+    return jax.tree_util.tree_map_with_path(spec, tree)
 
 
 def batch_sharding(mesh: Mesh, tree: Any):

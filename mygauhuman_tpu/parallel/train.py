@@ -310,15 +310,20 @@ def make_tile_sharded_train_step(
     repl = P()
 
     def ts_specs(ts: TrainState):
+        from mygauhuman_tpu.train.optim import is_gaussian_path
+
         cap = ts.gauss.capacity
 
-        def spec(leaf):
+        def spec(path, leaf):
+            # path-matched: MLP layers of width == capacity must NOT be
+            # sharded over the raster axes (the body would silently use a
+            # local slice of a replicated-semantics matrix)
             if (hasattr(leaf, "shape") and leaf.ndim >= 1
-                    and leaf.shape[0] == cap):
+                    and leaf.shape[0] == cap and is_gaussian_path(path)):
                 return spec_g
             return repl
 
-        return jax.tree_util.tree_map(spec, ts)
+        return jax.tree_util.tree_map_with_path(spec, ts)
 
     def batch_specs(batch: TrainBatch):
         def spec(leaf):

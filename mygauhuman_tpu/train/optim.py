@@ -124,30 +124,47 @@ def reset_adam_slots(opt_state, written: jnp.ndarray, capacity: int):
     the reference's zero-init for appended tensors (gaussian_model.py:468-477).
     """
 
-    def reset(leaf):
-        if hasattr(leaf, "shape") and leaf.ndim >= 1 and leaf.shape[0] == capacity:
+    def reset(path, leaf):
+        if (hasattr(leaf, "shape") and leaf.ndim >= 1
+                and leaf.shape[0] == capacity and is_gaussian_path(path)):
             shape = (capacity,) + (1,) * (leaf.ndim - 1)
             return jnp.where(written.reshape(shape), 0, leaf)
         return leaf
 
-    return jax.tree_util.tree_map(reset, opt_state)
+    return jax.tree_util.tree_map_with_path(reset, opt_state)
+
+
+def is_gaussian_path(path) -> bool:
+    """True iff a pytree path descends through the per-Gaussian subtree.
+
+    Adam-moment trees mirror TrainableParams (field `gaussians`), TrainState
+    trees hold the scene under `gauss` — matching the PATH, not just the
+    leading dim, is what keeps MLP layers of width == capacity (the pose /
+    LBS MLPs are 128 wide) from being mistaken for per-Gaussian rows when
+    the scene capacity is also 128."""
+    for entry in path:
+        name = getattr(entry, "name", getattr(entry, "key", None))
+        if name in ("gaussians", "gauss"):
+            return True
+    return False
 
 
 def grow_opt_state(opt_state, old_capacity: int, new_capacity: int):
     """Zero-pad per-Gaussian Adam moment rows to a larger capacity.
 
-    Companion to models.gaussians.grow_capacity: any state leaf whose leading
-    dim equals the old capacity is a per-Gaussian moment and gets zero rows
-    appended (fresh moments for the new slots, same convention as
-    reset_adam_slots).
+    Companion to models.gaussians.grow_capacity: state leaves on a
+    `gaussians` path with leading dim == old capacity are per-Gaussian
+    moments and get zero rows appended (fresh moments for the new slots,
+    same convention as reset_adam_slots).
     """
     assert new_capacity >= old_capacity
 
-    def grow(leaf):
+    def grow(path, leaf):
         if (
             hasattr(leaf, "shape")
             and leaf.ndim >= 1
             and leaf.shape[0] == old_capacity
+            and is_gaussian_path(path)
         ):
             pad = jnp.zeros(
                 (new_capacity - old_capacity,) + leaf.shape[1:], leaf.dtype
@@ -155,7 +172,7 @@ def grow_opt_state(opt_state, old_capacity: int, new_capacity: int):
             return jnp.concatenate([leaf, pad], axis=0)
         return leaf
 
-    return jax.tree_util.tree_map(grow, opt_state)
+    return jax.tree_util.tree_map_with_path(grow, opt_state)
 
 
 def geometry_freeze_mask(params: TrainableParams, frozen: jnp.ndarray):

@@ -165,3 +165,96 @@ class TestTileShardedStep:
                         jax.tree_util.tree_leaves(ts2.gauss.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert float(m1["loss"]) == float(m2["loss"])
+
+
+class TestTileShardedLoop:
+    """The full training LOOP over the tile-sharded step (the cli/train.py
+    --multichip wiring): densify events and capacity growth must work on
+    globally-sharded state — densify's argsort/scatter over the sharded
+    capacity axis and grow_capacity's concat + Adam-slot growth are exactly
+    where GSPMD could silently mis-shard (VERDICT r3 #4)."""
+
+    def test_loop_with_densify_and_growth_matches_single_device(self):
+        from jax.sharding import Mesh
+
+        from mygauhuman_tpu.ops.rasterize import RasterizerConfig
+        from mygauhuman_tpu.parallel.train import (
+            make_tile_sharded_train_step,
+            stack_batches,
+        )
+        from mygauhuman_tpu.train.trainer import train_loop
+
+        # both paths run the SAME kernel math (interpret-mode Pallas) so
+        # loop divergence can only come from the sharded exchange/reductions
+        rc = RasterizerConfig(tile_capacity=128, max_tiles_per_gaussian=8,
+                              use_pallas=True, pallas_interpret=True)
+        scene = make_synthetic_scene(n_views=2, width=64, height=64,
+                                     n_verts=100, capacity=128,
+                                     raster_config=rc)
+        # capacity 128 with min_free=max(256, cap//8) forces grow_capacity
+        # (128 -> 256 -> 512) at the first densify events: growth of the
+        # sharded state + Adam moments is exercised, not just densify
+        cfg = OptimizationConfig(
+            iterations=22, densify_from_iter=5, densify_until_iter=21,
+            densification_interval=7,
+        )
+
+        def run(step_builder):
+            init = jax.tree_util.tree_map(jnp.copy, scene.init_state)
+            ts, tx = create_train_state(
+                cfg, init,
+                init_pose_refiner(jax.random.PRNGKey(0)),
+                init_lbs_offset(jax.random.PRNGKey(1)),
+            )
+            step_fn = step_builder(tx)
+            events = []
+            ts, m = train_loop(
+                ts, tx, step_fn, scene.batches, cfg,
+                extent=scene.extent, smpl_vertices=scene.big_pose_verts,
+                max_sh_degree=0, seed=11,
+                callback=lambda it, ts2, m2: events.append(
+                    (it, int(ts2.gauss.capacity), int(ts2.gauss.num_alive))
+                ),
+            )
+            return ts, m, events
+
+        def single_builder(tx):
+            return make_train_step(scene.smpl_model, tx, cfg, rc,
+                                   bg=jnp.zeros(3))
+
+        def sharded_builder(tx):
+            # the cli/train.py --multichip wiring: data axis degenerate on
+            # one host, raster axes over the 8 virtual devices, one view
+            # per iteration stacked to B=1
+            mesh = Mesh(
+                np.asarray(jax.devices()[:8]).reshape(1, 2, 4),
+                ("data", "gauss", "tiles"),
+            )
+            base = make_tile_sharded_train_step(
+                scene.smpl_model, tx, cfg, rc, bg=jnp.zeros(3), mesh=mesh,
+                exchange_capacity=1024,
+            )
+
+            def step_fn(ts, batch, deg):
+                return base(ts, stack_batches([batch]), deg)
+
+            return step_fn
+
+        ts_s, m_s, ev_s = run(single_builder)
+        ts_m, m_m, ev_m = run(sharded_builder)
+
+        # the schedule replayed identically: same densify/growth trajectory
+        assert ev_s == ev_m, (ev_s, ev_m)
+        caps = [c for _, c, _ in ev_s]
+        assert caps[0] == 128 and caps[-1] >= 512          # growth happened
+        alive = [a for _, _, a in ev_s]
+        # densify/prune actually fired (on this tiny synthetic scene prune
+        # dominates; the point is the event ran on sharded state)
+        assert alive[-1] != alive[0]
+        assert abs(float(m_s["loss"]) - float(m_m["loss"])) \
+            < 2e-3 * max(1.0, abs(float(m_s["loss"])))
+        np.testing.assert_allclose(
+            np.asarray(ts_m.gauss.params.xyz),
+            np.asarray(ts_s.gauss.params.xyz), atol=5e-3)
+        np.testing.assert_array_equal(
+            np.asarray(ts_m.gauss.alive), np.asarray(ts_s.gauss.alive))
