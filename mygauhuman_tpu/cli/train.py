@@ -269,19 +269,34 @@ def main(argv=None) -> dict:
 
     # jitted eval render + metric bundle: render_frame is a plain jnp
     # composition, and an unjitted call pays per-op dispatch latency (the
-    # remote-device tunnel makes that seconds per image)
+    # remote-device tunnel makes that seconds per image). The SMPL tensors
+    # and LPIPS weights ride as ARGUMENTS (closed-over arrays embed as
+    # dense literals in the executable — 100+ MB cache loads, PERF.md)
     import functools
 
-    @functools.partial(jax.jit, static_argnums=(4,))
-    def _eval_render(gauss, camera, frame, mlps, deg):
+    _smpl_consts = {
+        "v_template": smpl_model.v_template,
+        "shapedirs": smpl_model.shapedirs,
+        "posedirs": smpl_model.posedirs,
+        "j_regressor": smpl_model.j_regressor,
+        "weights": smpl_model.weights,
+    }
+
+    @functools.partial(jax.jit, static_argnums=(5,))
+    def _eval_render_impl(gauss, camera, frame, mlps, smpl_c, deg):
         out = render_frame(
-            gauss, camera, frame, smpl_model, bg=bg, active_sh_degree=deg,
-            mlp_params=mlps, config=raster_cfg,
+            gauss, camera, frame, smpl_model._replace(**smpl_c), bg=bg,
+            active_sh_degree=deg, mlp_params=mlps, config=raster_cfg,
         )
         return out
 
+    def _eval_render(gauss, camera, frame, mlps, deg):
+        return _eval_render_impl(gauss, camera, frame, mlps,
+                                 _smpl_consts, deg)
+
     @jax.jit
-    def _eval_metrics(render, gt):
+    def _eval_metrics_impl(render, gt, lpips_params):
+        from mygauhuman_tpu.eval.lpips import lpips_distance
         from mygauhuman_tpu.train.losses import l1_loss, ssim as ssim_fn
 
         m = {
@@ -289,11 +304,16 @@ def main(argv=None) -> dict:
             "psnr": psnr_fn(render, gt),
             "ssim": ssim_fn(render, gt),
         }
-        if lpips_obj is not None:
+        if lpips_params is not None:
             # key is "lpips_rand" for the random-VGG fallback (honesty:
             # not comparable to published LPIPS without pretrained weights)
-            m[lpips_obj.metric_name] = lpips_obj(render, gt)
+            m[lpips_obj.metric_name] = lpips_distance(
+                lpips_params, render, gt)
         return m
+
+    def _eval_metrics(render, gt):
+        return _eval_metrics_impl(
+            render, gt, lpips_obj.params if lpips_obj is not None else None)
 
     def run_eval(it, ts):
         """Test-iteration report parity (train.py:458-556): L1/PSNR/SSIM/

@@ -38,10 +38,20 @@ def make_batched_train_step(
     bg: jnp.ndarray,
 ):
     """Train step over a batch of views (leading axis B on every TrainBatch
-    leaf). Use with jit(in_shardings=...) from parallel/mesh.py."""
+    leaf). Use with jit(in_shardings=...) from parallel/mesh.py.
 
-    def single_view_loss(params: TrainableParams, gauss_aux, batch: TrainBatch,
-                         m2d_off, active_sh_degree: int):
+    SMPL tensors ride the jit boundary as arguments (closed-over arrays
+    embed as executable constants — see make_train_step)."""
+    smpl_consts = {
+        "v_template": smpl_model.v_template,
+        "shapedirs": smpl_model.shapedirs,
+        "posedirs": smpl_model.posedirs,
+        "j_regressor": smpl_model.j_regressor,
+        "weights": smpl_model.weights,
+    }
+
+    def single_view_loss(params: TrainableParams, gauss_aux, smpl,
+                         batch: TrainBatch, m2d_off, active_sh_degree: int):
         gstate = G.GaussianState(
             params=params.gaussians,
             alive=gauss_aux["alive"],
@@ -55,7 +65,8 @@ def make_batched_train_step(
             "lbs_offset": params.lbs_offset,
         }
         out = render_frame(
-            gstate, batch.camera, batch.frame, smpl_model,
+            gstate, batch.camera, batch.frame,
+            smpl_model._replace(**smpl),
             bg=bg, active_sh_degree=active_sh_degree, mlp_params=mlps,
             config=raster_config, means2d_offset=m2d_off,
         )
@@ -66,8 +77,9 @@ def make_batched_train_step(
         total, metrics = compute_losses_a(out, batch, scaling_mean)
         return total, (metrics, out.radii)
 
-    @functools.partial(jax.jit, static_argnums=(2,))
-    def step(ts: TrainState, batch: TrainBatch, active_sh_degree: int):
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def _step(ts: TrainState, batch: TrainBatch, smpl,
+              active_sh_degree: int):
         cap = ts.gauss.capacity
         B = batch.gt_image.shape[0]
         zeros2d = jnp.zeros((B, cap, 2), jnp.float32)
@@ -81,8 +93,8 @@ def make_batched_train_step(
 
         def batched_loss(params, m2d_off):
             totals, (metrics, radii) = jax.vmap(
-                single_view_loss, in_axes=(None, None, 0, 0, None)
-            )(params, gauss_aux, batch, m2d_off, active_sh_degree)
+                single_view_loss, in_axes=(None, None, None, 0, 0, None)
+            )(params, gauss_aux, smpl, batch, m2d_off, active_sh_degree)
             return jnp.mean(totals), (metrics, radii)
 
         (_, (metrics, radii)), grads = jax.value_and_grad(
@@ -126,6 +138,9 @@ def make_batched_train_step(
         )
         mean_metrics = jax.tree_util.tree_map(jnp.mean, metrics)
         return new_ts, mean_metrics
+
+    def step(ts: TrainState, batch: TrainBatch, active_sh_degree: int):
+        return _step(ts, batch, smpl_consts, int(active_sh_degree))
 
     return step
 
@@ -178,12 +193,33 @@ def make_tile_sharded_train_step(
     )
     from mygauhuman_tpu.train.trainer import compute_losses_a
 
+    from mygauhuman_tpu.eval.lpips import lpips_distance
+
     n_shards = mesh_shard_count(mesh, raster_axes)
     all_axes = (data_axis,) + tuple(raster_axes)
     raster_fn = make_strip_raster_fn(raster_axes, n_shards,
                                      exchange_capacity)
+    # big model constants ride as replicated shard_map ARGUMENTS (closures
+    # embed as executable constants — see make_train_step)
+    consts = {
+        "smpl": {
+            "v_template": smpl_model.v_template,
+            "shapedirs": smpl_model.shapedirs,
+            "posedirs": smpl_model.posedirs,
+            "j_regressor": smpl_model.j_regressor,
+            "weights": smpl_model.weights,
+        },
+        "lpips": getattr(lpips_fn, "params", None),
+    }
 
-    def body(ts: TrainState, batch: TrainBatch, active_sh_degree: int):
+    def body(ts: TrainState, batch: TrainBatch, consts,
+             active_sh_degree: int):
+        smpl = smpl_model._replace(**consts["smpl"])
+        if consts["lpips"] is not None:
+            lp = consts["lpips"]
+            lfn = lambda a, b: lpips_distance(lp, a, b)  # noqa: E731
+        else:
+            lfn = lpips_fn
         cap_local = ts.gauss.capacity          # local capacity slice
         B_local = batch.gt_image.shape[0]
         gauss_aux = {
@@ -204,7 +240,7 @@ def make_tile_sharded_train_step(
                 max_radii2d=gauss_aux["max_radii2d"],
             )
             out = render_frame(
-                gstate, view.camera, view.frame, smpl_model,
+                gstate, view.camera, view.frame, smpl,
                 bg=bg, active_sh_degree=active_sh_degree,
                 mlp_params={"pose_refiner": params.pose_refiner,
                             "lbs_offset": params.lbs_offset},
@@ -219,8 +255,7 @@ def make_tile_sharded_train_step(
             )
             s_cnt = jax.lax.psum(jnp.sum(alive_f) * 3, raster_axes)
             scaling_mean = s_sum / jnp.maximum(s_cnt, 1.0)
-            total, metrics = compute_losses_a(out, view, scaling_mean,
-                                              lpips_fn)
+            total, metrics = compute_losses_a(out, view, scaling_mean, lfn)
             return total, metrics, out.radii
 
         def loss_fn(params, m2d_offs):
@@ -333,16 +368,21 @@ def make_tile_sharded_train_step(
 
         return jax.tree_util.tree_map(spec, batch)
 
-    @functools.partial(jax.jit, static_argnums=(2,))
-    def step(ts: TrainState, batch: TrainBatch, active_sh_degree: int):
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def _step(ts: TrainState, batch: TrainBatch, consts,
+              active_sh_degree: int):
         tspec = ts_specs(ts)
+        cspec = jax.tree_util.tree_map(lambda _: repl, consts)
         sharded = shard_map(
-            lambda t, b: body(t, b, active_sh_degree),
+            lambda t, b, c: body(t, b, c, active_sh_degree),
             mesh=mesh,
-            in_specs=(tspec, batch_specs(batch)),
+            in_specs=(tspec, batch_specs(batch), cspec),
             out_specs=(tspec, repl),
             check_vma=False,
         )
-        return sharded(ts, batch)
+        return sharded(ts, batch, consts)
+
+    def step(ts: TrainState, batch: TrainBatch, active_sh_degree: int):
+        return _step(ts, batch, consts, int(active_sh_degree))
 
     return step

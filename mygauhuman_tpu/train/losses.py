@@ -81,6 +81,29 @@ def _band_matrix(size: int, window_size: int, sigma: float) -> np.ndarray:
     return B
 
 
+def _band_matrix_traced(size: int, window_size: int, sigma: float):
+    """The banded matrix built ON DEVICE from the 11 f32 taps.
+
+    Entry-for-entry identical to `_band_matrix` (each element is exactly
+    g[t] or 0), but constructed from iota + `window_size` selects behind an
+    optimization_barrier, so XLA can neither constant-fold it back into a
+    [size, size] dense literal nor CSE it away into one: as a dense
+    constant every `_filter2d` call site embedded its own ~1 MB copy in the
+    executable (20 copies of [512,512] = half the train step's constant
+    bulk, slow remote-cache loads). Construction cost is ~window_size
+    elementwise passes over [size, size] — microseconds, once per filter.
+    """
+    g = np.exp(-((np.arange(window_size) - window_size // 2) ** 2)
+               / (2 * sigma**2))
+    g = (g / g.sum()).astype(np.float32)
+    i = jnp.arange(size, dtype=jnp.int32)
+    off = i[None, :] - i[:, None] + window_size // 2     # j - i + half
+    band = jnp.zeros((size, size), jnp.float32)
+    for t in range(window_size):
+        band = jnp.where(off == t, jnp.float32(g[t]), band)
+    return jax.lax.optimization_barrier(band)
+
+
 def _filter2d(img: jnp.ndarray, window_size: int = 11,
               sigma: float = 1.5) -> jnp.ndarray:
     """Separable gaussian blur as two banded MXU matmuls. img: [H, W, C].
@@ -91,8 +114,8 @@ def _filter2d(img: jnp.ndarray, window_size: int = 11,
     Matches conv SAME/zero padding exactly (separable gaussian window).
     """
     H, W = img.shape[:2]
-    bh = jnp.asarray(_band_matrix(H, window_size, sigma))
-    bw = jnp.asarray(_band_matrix(W, window_size, sigma))
+    bh = _band_matrix_traced(H, window_size, sigma)
+    bw = bh if W == H else _band_matrix_traced(W, window_size, sigma)
     y = jnp.einsum("hk,kwc->hwc", bh, img,
                    preferred_element_type=jnp.float32)
     return jnp.einsum("hkc,wk->hwc", y, bw,

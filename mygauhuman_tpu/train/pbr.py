@@ -193,8 +193,24 @@ def make_pbr_train_step(
     grayscale environment modulation from the CURRENT light inside the jit
     region each trip (the eager per-iteration `export_envmap` + single-step
     dispatch pattern cost 105-524 ms/iter of pure tunnel latency, PERF.md).
+
+    SMPL tensors + the BRDF LUT ride the jit boundary as arguments
+    (closed-over arrays embed as executable constants — see
+    trainer.make_train_step).
     """
-    brdf_lut = get_brdf_lut()
+    from mygauhuman_tpu.eval.lpips import lpips_distance
+
+    consts = {
+        "smpl": {
+            "v_template": smpl_model.v_template,
+            "shapedirs": smpl_model.shapedirs,
+            "posedirs": smpl_model.posedirs,
+            "j_regressor": smpl_model.j_regressor,
+            "weights": smpl_model.weights,
+        },
+        "brdf_lut": get_brdf_lut(),
+        "lpips": getattr(lpips_fn, "params", None),
+    }
 
     def _step_impl(
         ts: TrainState,
@@ -203,8 +219,16 @@ def make_pbr_train_step(
         knn3: jnp.ndarray,
         occlusion_color: jnp.ndarray,    # [cap, 3] baked (or opacity fallback)
         prefilter_w: dict,               # constant prefilter weight matrices
+        consts: dict,
         active_sh_degree: int,
     ):
+        smpl = smpl_model._replace(**consts["smpl"])
+        brdf_lut = consts["brdf_lut"]
+        if consts["lpips"] is not None:
+            lp = consts["lpips"]
+            lfn = lambda a, b: lpips_distance(lp, a, b)  # noqa: E731
+        else:
+            lfn = lpips_fn
         view_dirs = canonical_view_dirs(batch.camera)
 
         def loss_fn(params: TrainableParams, light_vol: dict):
@@ -214,13 +238,13 @@ def make_pbr_train_step(
                 "lbs_offset": params.lbs_offset,
             }
             out = render_frame(
-                gstate, batch.camera, batch.frame, smpl_model,
+                gstate, batch.camera, batch.frame, smpl,
                 bg=bg, active_sh_degree=active_sh_degree, mlp_params=mlps,
                 config=raster_config, occlusion_color=occlusion_color,
             )
             total, metrics = compute_losses_pbr(
                 out, batch, light_vol["light"], params.gaussians,
-                ts.gauss.alive, knn3, view_dirs, brdf_lut, lpips_fn,
+                ts.gauss.alive, knn3, view_dirs, brdf_lut, lfn,
                 prefilter_w,
             )
             return total, metrics
@@ -278,18 +302,18 @@ def make_pbr_train_step(
         )
         return new_ts, new_pbr, metrics
 
-    _step = functools.partial(jax.jit, static_argnums=(6,))(_step_impl)
+    _step = functools.partial(jax.jit, static_argnums=(7,))(_step_impl)
 
     def step(ts, pbr_state, batch, knn3, occlusion_color, prefilter_w,
              active_sh_degree: int):
         return _step(ts, pbr_state, batch, knn3, occlusion_color,
-                     prefilter_w, int(active_sh_degree))
+                     prefilter_w, consts, int(active_sh_degree))
 
     from mygauhuman_tpu.occlusion.baking import occlusion_color as occ_color
     from mygauhuman_tpu.pbr.light import export_envmap as _export_env
 
-    @functools.partial(jax.jit, static_argnums=(8,))
-    def _chunk(ts, pbr_state, views, occ_stack, knn3, prefilter_w,
+    @functools.partial(jax.jit, static_argnums=(9,))
+    def _chunk(ts, pbr_state, views, occ_stack, knn3, prefilter_w, consts,
                idx, n, active_sh_degree):
         """Up to len(idx) PBR iterations in ONE dispatch (mirrors the phase-A
         chunk program, trainer.py): dynamic-trip fori_loop, traced trip
@@ -302,7 +326,7 @@ def make_pbr_train_step(
             lambda ts, pbr, b, occ: _step_impl(
                 ts, pbr, b, knn3,
                 occ_color(occ, jnp.zeros((bh, bw, 1))),
-                prefilter_w, active_sh_degree)[2],
+                prefilter_w, consts, active_sh_degree)[2],
             ts, pbr_state,
             jax.tree_util.tree_map(lambda x: x[0], views), occ_stack[0])
         mbuf = jax.tree_util.tree_map(
@@ -315,7 +339,8 @@ def make_pbr_train_step(
             env_gray = jnp.mean(env, axis=-1, keepdims=True)
             occ_col = occ_color(occ_stack[idx[t]], env_gray)
             ts, pbr, m = _step_impl(
-                ts, pbr, batch, knn3, occ_col, prefilter_w, active_sh_degree)
+                ts, pbr, batch, knn3, occ_col, prefilter_w, consts,
+                active_sh_degree)
             mbuf = jax.tree_util.tree_map(
                 lambda buf, v: buf.at[t].set(v), mbuf, m)
             return ts, pbr, mbuf
@@ -328,7 +353,7 @@ def make_pbr_train_step(
         pad_to = max(pad_to, n)
         idx = list(idx) + [0] * (pad_to - n)
         ts, pbr_state, mseq = _chunk(
-            ts, pbr_state, views, occ_stack, knn3, prefilter_w,
+            ts, pbr_state, views, occ_stack, knn3, prefilter_w, consts,
             jnp.asarray(idx, jnp.int32), jnp.int32(n), int(active_sh_degree))
         return ts, pbr_state, (mseq, n)
 
@@ -396,12 +421,21 @@ def train_loop_pbr(
     else:
         occ_cache: dict = {}
 
+    _smpl_consts = {
+        "v_template": smpl_model.v_template,
+        "shapedirs": smpl_model.shapedirs,
+        "posedirs": smpl_model.posedirs,
+        "j_regressor": smpl_model.j_regressor,
+        "weights": smpl_model.weights,
+    }
+
     @jax.jit
-    def _bake(ts, batch):
+    def _bake(ts, batch, smpl_c):
         """Geometry is frozen in phase B, so the LBS transforms (and hence
         the bake) are per-camera constants; SH degree does not affect them."""
         out = render_frame(
-            ts.gauss, batch.camera, batch.frame, smpl_model,
+            ts.gauss, batch.camera, batch.frame,
+            smpl_model._replace(**smpl_c),
             bg=jnp.zeros(3), active_sh_degree=0,
             mlp_params={"pose_refiner": ts.pose_refiner,
                         "lbs_offset": ts.lbs_offset},
@@ -425,7 +459,7 @@ def train_loop_pbr(
         nonlocal bake_oob_total, occ_stack
         if bi in baked:
             return
-        occ, bake_oob = _bake(ts, batches[bi])
+        occ, bake_oob = _bake(ts, batches[bi], _smpl_consts)
         bake_oob_total += int(bake_oob)
         if chunked:
             occ_stack = occ_stack.at[bi].set(occ)

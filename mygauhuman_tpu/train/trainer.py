@@ -186,9 +186,39 @@ def make_train_step(
     donate=True updates the params + Adam-moment buffers (~50 MB at 64k
     capacity) in place instead of copying them every step — the production
     train-loop mode. Leave False when the SAME TrainState is fed to the step
-    more than once (determinism tests, benchmarks)."""
+    more than once (determinism tests, benchmarks).
 
-    def _step_impl(ts: TrainState, batch: TrainBatch, active_sh_degree: int):
+    Large model constants (the SMPL tensors, the LPIPS backbone weights) are
+    threaded through the jit boundary as ARGUMENTS, not closures: closed-over
+    arrays embed as dense literals in the serialized executable (~17 MB of
+    posedirs + ~134 MB of VGG weights incl. their AD transposes per
+    signature), which in a remote-compile environment turns every
+    persistent-cache load into a 100+ MB transfer."""
+    from mygauhuman_tpu.eval.lpips import lpips_distance
+
+    smpl_consts = {
+        "v_template": smpl_model.v_template,
+        "shapedirs": smpl_model.shapedirs,
+        "posedirs": smpl_model.posedirs,
+        "j_regressor": smpl_model.j_regressor,
+        "weights": smpl_model.weights,
+    }
+    if lpips_fn is None:
+        lpips_consts = None
+    elif hasattr(lpips_fn, "params"):
+        lpips_consts = lpips_fn.params
+    else:                       # bare callable: legacy closure behavior
+        lpips_consts = None
+    consts = {"smpl": smpl_consts, "lpips": lpips_consts}
+
+    def _step_impl(ts: TrainState, batch: TrainBatch, consts,
+                   active_sh_degree: int):
+        smpl = smpl_model._replace(**consts["smpl"])
+        lp = consts["lpips"]
+        if lp is not None:
+            lfn = lambda a, b: lpips_distance(lp, a, b)  # noqa: E731
+        else:
+            lfn = lpips_fn
         cap = ts.gauss.capacity
         zeros2d = jnp.zeros((cap, 2), jnp.float32)
 
@@ -202,7 +232,7 @@ def make_train_step(
                 gstate,
                 batch.camera,
                 batch.frame,
-                smpl_model,
+                smpl,
                 bg=bg,
                 active_sh_degree=active_sh_degree,
                 mlp_params=mlps,
@@ -213,7 +243,7 @@ def make_train_step(
             scaling_mean = jnp.sum(
                 G.get_scaling(params.gaussians) * alive_f[:, None]
             ) / jnp.maximum(jnp.sum(alive_f) * 3, 1.0)
-            total, metrics = compute_losses_a(out, batch, scaling_mean, lpips_fn)
+            total, metrics = compute_losses_a(out, batch, scaling_mean, lfn)
             metrics["overflow_tiles"] = out.overflow_tiles
             metrics["overflow_gauss"] = out.overflow_gauss
             metrics["overflow_inst"] = out.overflow_inst
@@ -246,13 +276,13 @@ def make_train_step(
         )
         return new_ts, metrics
 
-    _step = functools.partial(jax.jit, static_argnums=(2,),
+    _step = functools.partial(jax.jit, static_argnums=(3,),
                               donate_argnums=(0,) if donate else ())(
         _step_impl)
 
-    @functools.partial(jax.jit, static_argnums=(4,),
+    @functools.partial(jax.jit, static_argnums=(5,),
                        donate_argnums=(0,) if donate else ())
-    def _chunk(ts: TrainState, views: TrainBatch, idx: jnp.ndarray,
+    def _chunk(ts: TrainState, views: TrainBatch, consts, idx: jnp.ndarray,
                n: jnp.ndarray, active_sh_degree: int):
         """Up to len(idx) iterations in ONE dispatch: a dynamic-trip
         fori_loop of the step over an index vector into the [V, ...]-stacked
@@ -264,7 +294,7 @@ def make_train_step(
         chunking amortizes it K-fold (the measured full-train loop was
         dispatch-bound, PERF.md)."""
         mshape = jax.eval_shape(
-            lambda ts, b: _step_impl(ts, b, active_sh_degree)[1],
+            lambda ts, b: _step_impl(ts, b, consts, active_sh_degree)[1],
             ts, jax.tree_util.tree_map(lambda x: x[0], views))
         mbuf = jax.tree_util.tree_map(
             lambda s: jnp.zeros((idx.shape[0],) + s.shape, s.dtype), mshape)
@@ -272,7 +302,7 @@ def make_train_step(
         def body(t, carry):
             ts, mbuf = carry
             batch = jax.tree_util.tree_map(lambda x: x[idx[t]], views)
-            ts, m = _step_impl(ts, batch, active_sh_degree)
+            ts, m = _step_impl(ts, batch, consts, active_sh_degree)
             mbuf = jax.tree_util.tree_map(
                 lambda buf, v: buf.at[t].set(v), mbuf, m)
             return ts, mbuf
@@ -281,7 +311,7 @@ def make_train_step(
 
     def step(ts, batch, active_sh_degree: int):
         # static sh degree: at most sh_degree+1 retraces over a run
-        return _step(ts, batch, int(active_sh_degree))
+        return _step(ts, batch, consts, int(active_sh_degree))
 
     def chunk(ts, views, idx, active_sh_degree: int, pad_to: int = 0):
         """(ts, [V]-stacked views, [K<=pad_to] idx, deg) -> (ts, metrics
@@ -289,7 +319,7 @@ def make_train_step(
         n = len(idx)
         pad_to = max(pad_to, n)
         idx = list(idx) + [0] * (pad_to - n)
-        ts, mseq = _chunk(ts, views, jnp.asarray(idx, jnp.int32),
+        ts, mseq = _chunk(ts, views, consts, jnp.asarray(idx, jnp.int32),
                           jnp.int32(n), int(active_sh_degree))
         return ts, (mseq, n)
 

@@ -243,3 +243,16 @@ def test_latent_kl_loss():
     # a latent whose sigmoid mean equals rho has ~zero divergence
     at_rho = jnp.full((4, 32), float(np.log(0.05 / 0.95)))
     assert float(L.latent_kl_loss(at_rho)) < 1e-6
+
+
+def test_band_matrix_traced_matches_dense_oracle():
+    """The on-device banded-matrix construction (no dense constant in the
+    executable) is entry-for-entry identical to the numpy oracle."""
+    import numpy as np
+
+    from mygauhuman_tpu.train.losses import _band_matrix, _band_matrix_traced
+
+    for size in (17, 64, 512):
+        ref = _band_matrix(size, 11, 1.5)
+        got = np.asarray(_band_matrix_traced(size, 11, 1.5))
+        np.testing.assert_array_equal(got, ref)
