@@ -26,6 +26,43 @@ from mygauhuman_tpu.data.camera import focal2fov
 from mygauhuman_tpu.utils.ply import read_ply, write_ply
 
 
+def _prefetch_decoded(paths: list, workers: int = 8) -> list:
+    """Decode an image-path list concurrently -> float32 [H, W, C] in [0, 1].
+
+    Uses the native C++ decode pipeline (native/dataloader.cpp: worker
+    threads, libjpeg/libpng, one submit/collect queue) and falls back to a
+    sequential imageio loop when the toolchain is unavailable or
+    MYGAUHUMAN_NATIVE_LOADER=0. None entries pass through as None (missing
+    optional files, e.g. ZJU normal maps). Both paths produce identical
+    arrays (8-bit decode / 255)."""
+    real = [(i, p) for i, p in enumerate(paths) if p is not None]
+    out: list = [None] * len(paths)
+    use_native = os.environ.get("MYGAUHUMAN_NATIVE_LOADER", "1") not in (
+        "0", "off", "false")
+    if use_native and real:
+        from mygauhuman_tpu.data.native_loader import (
+            NativeImageLoader,
+            native_available,
+        )
+
+        if native_available():
+            with NativeImageLoader(workers=workers) as dl:
+                for j, (_, p) in enumerate(real):
+                    dl.submit(p, j)
+                for _ in real:
+                    j, img = dl.collect()
+                    out[real[j][0]] = img
+            return out
+    import imageio.v2 as imageio
+
+    for i, p in real:
+        img = imageio.imread(p).astype(np.float32) / 255.0
+        if img.ndim == 2:
+            img = img[..., None]
+        out[i] = img
+    return out
+
+
 # ----------------------------------------------------------------------------
 # Structures (dataset_readers.py:36-66)
 # ----------------------------------------------------------------------------
@@ -201,6 +238,23 @@ def read_cameras_zju(
 
     big_param, big_xyz, big_bound, big_normals = _prep_big_pose(smpl_model)
 
+    # metadata pass: gather every (image, normal, mask) path, then decode
+    # them ALL through the prefetching native pipeline (the sequential
+    # per-view imageio loop was the scene-load bottleneck — PERF.md)
+    flat_paths: list = []
+    for pose_index in range(len(ims)):
+        for view_index in range(len(output_view)):
+            ip = os.path.join(
+                path, str(ims[pose_index][view_index]).replace("\\", "/")
+            )
+            npth = ip.replace("images", "normal")
+            flat_paths += [
+                ip,
+                npth if os.path.exists(npth) else None,
+                ip.replace("images", "mask").replace("jpg", "png"),
+            ]
+    decoded = _prefetch_decoded(flat_paths)
+
     cam_infos = []
     idx = 0
     for pose_index in range(len(ims)):
@@ -209,18 +263,11 @@ def read_cameras_zju(
                 path, str(ims[pose_index][view_index]).replace("\\", "/")
             )
             image_name = str(ims[pose_index][view_index]).split(".")[0]
-            image = imageio.imread(image_path).astype(np.float32) / 255.0
+            d_img, d_nrm, d_msk = decoded[3 * idx: 3 * idx + 3]
+            image = d_img
 
-            normal_path = image_path.replace("images", "normal")
-            normal = (
-                imageio.imread(normal_path).astype(np.float32) / 255.0
-                if os.path.exists(normal_path)
-                else np.zeros_like(image)
-            )
-            msk_path = image_path.replace("images", "mask").replace(
-                "jpg", "png"
-            )
-            msk = (imageio.imread(msk_path) != 0).astype(np.uint8)
+            normal = d_nrm if d_nrm is not None else np.zeros_like(image)
+            msk = (d_msk != 0).astype(np.uint8)
             if msk.ndim == 3:
                 msk = msk[..., 0]
 
@@ -354,14 +401,21 @@ def read_cameras_monocap(
                          str(pose_index).zfill(4) + ".png"),
         )
 
+    # metadata pass + prefetching decode (native pipeline; see ZJU reader)
+    pose_range = range(pose_start, pose_start + pose_num * pose_interval,
+                       pose_interval)
+    flat_paths = []
+    for pose_index in pose_range:
+        for view_index in output_view:
+            flat_paths += list(img_paths(view_index, pose_index))
+    decoded = _prefetch_decoded(flat_paths)
+
     cam_infos = []
     idx = 0
-    for pose_index in range(pose_start, pose_start + pose_num * pose_interval,
-                            pose_interval):
+    for pose_index in pose_range:
         for view_index in output_view:
             image_path, msk_path = img_paths(view_index, pose_index)
-            image = imageio.imread(image_path).astype(np.float32) / 255.0
-            msk = imageio.imread(msk_path).astype(np.float32) / 255.0
+            image, msk = decoded[2 * idx], decoded[2 * idx + 1]
             if msk.ndim == 3:
                 msk = msk[..., 0]
 

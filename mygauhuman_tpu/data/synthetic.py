@@ -93,12 +93,22 @@ def make_synthetic_scene(
     cfg = raster_config or RasterizerConfig(tile_capacity=512, chunk_tiles=16)
     big_jnp = {k: jnp.asarray(v) for k, v in big.items()}
 
+    model_arrays = {
+        "v_template": model.v_template,
+        "shapedirs": model.shapedirs,
+        "posedirs": model.posedirs,
+        "j_regressor": model.j_regressor,
+        "weights": model.weights,
+    }
+
     @jax.jit
-    def _gt_view(cam, frame):
+    def _gt_view(gt_state, model_arrays, cam, frame):
         """GT render + masks for one view, in ONE dispatch (eager per-op
-        execution pays a tiny-program compile per op on remote backends)."""
+        execution pays a tiny-program compile per op on remote backends).
+        Scene state + SMPL tensors are arguments, not closures — closures
+        embed as executable constants (slow compiles/cache loads)."""
         out = render_frame(
-            gt_state, cam, frame, model,
+            gt_state, cam, frame, model._replace(**model_arrays),
             bg=jnp.zeros(3), active_sh_degree=0, config=cfg,
         )
         alpha = out.render_alpha
@@ -138,7 +148,8 @@ def make_synthetic_scene(
                 big_pose_param=big_jnp,
                 big_pose_verts=verts,
             )
-            gt_image, gt_normal, bkgd, bound = _gt_view(cam, frame)
+            gt_image, gt_normal, bkgd, bound = _gt_view(
+                gt_state, model_arrays, cam, frame)
             batches.append(TrainBatch(
                 camera=cam,
                 frame=frame,

@@ -56,6 +56,13 @@ def init_lpips(key=None, weights_file: str | None = None) -> LPIPSParams:
         return LPIPSParams(convs=tuple(convs), lins=lins)
 
     key = key if key is not None else jax.random.PRNGKey(0)
+    return _init_random_backbone(key)
+
+
+@jax.jit
+def _init_random_backbone(key) -> LPIPSParams:
+    """Deterministic He-init random VGG in ONE jitted program (the eager
+    per-layer form paid a tunnel round trip per op on remote backends)."""
     convs = []
     cin = 3
     for i, (cout, _) in enumerate(_VGG_PLAN):

@@ -187,6 +187,19 @@ def create_from_pcd(
     """
     n = points.shape[0]
     cap = capacity or _round_capacity(n)
+    return _create_from_pcd_jit(
+        jnp.asarray(points, jnp.float32),
+        jnp.asarray(colors, jnp.float32),
+        jnp.asarray(normals, jnp.float32),
+        int(sh_degree), int(cap),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _create_from_pcd_jit(points, colors, normals, sh_degree: int, cap: int):
+    """One program for the whole init (eager op-by-op paid a tiny-program
+    compile + tunnel round trip per op on remote backends, ~17 s/process)."""
+    n = points.shape[0]
     rest = num_sh_coeffs(sh_degree) - 1
 
     pts = jnp.asarray(points, jnp.float32)

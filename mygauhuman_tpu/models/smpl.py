@@ -11,6 +11,7 @@ miniature (24 joints, proper kinematic chain) for tests and demos.
 """
 from __future__ import annotations
 
+import functools
 import pickle
 from typing import NamedTuple
 
@@ -157,12 +158,37 @@ def smpl_forward(
 
     Parity: smpl/smpl_numpy.py:46-98 — shape blendshapes, 207-dim lrotmin
     pose blendshapes, kinematic compose, LBS skinning.
+
+    Jitted into ONE program (parents static, tensors traced): the eager
+    op-by-op form paid a tiny-program compile + tunnel round trip per op —
+    ~30 s per process start on the remote-TPU backend, and tiny programs
+    sit below the persistent cache's compile-time floor so the cost
+    recurred every run.
     """
+    arrays = {
+        "v_template": model.v_template,
+        "shapedirs": model.shapedirs,
+        "posedirs": model.posedirs,
+        "j_regressor": model.j_regressor,
+        "weights": model.weights,
+    }
+    parents = tuple(int(p) for p in model.parents)
+    return _smpl_forward_core(parents, arrays, jnp.asarray(poses),
+                              jnp.asarray(shapes))
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _smpl_forward_core(
+    parents: tuple,
+    arrays: dict,
+    poses: jnp.ndarray,
+    shapes: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     hi = jax.lax.Precision.HIGHEST
-    v_shaped = model.v_template + jnp.einsum(
-        "vdb,b->vd", model.shapedirs, shapes, precision=hi
+    v_shaped = arrays["v_template"] + jnp.einsum(
+        "vdb,b->vd", arrays["shapedirs"], shapes, precision=hi
     )
-    J = jnp.matmul(model.j_regressor, v_shaped, precision=hi)  # [24, 3]
+    J = jnp.matmul(arrays["j_regressor"], v_shaped, precision=hi)  # [24, 3]
 
     if poses.ndim == 1:
         rot_mats = rodrigues(poses.reshape(-1, 3))
@@ -170,12 +196,12 @@ def smpl_forward(
         rot_mats = poses
     ident = jnp.eye(3, dtype=v_shaped.dtype)
     lrotmin = (rot_mats[1:] - ident).reshape(-1)  # [(J-1)*9]
-    v_posed = v_shaped + jnp.einsum("vdp,p->vd", model.posedirs, lrotmin,
+    v_posed = v_shaped + jnp.einsum("vdp,p->vd", arrays["posedirs"], lrotmin,
                                     precision=hi)
 
-    G = rigid_transform_chain(rot_mats, J, model.parents)
+    G = rigid_transform_chain(rot_mats, J, np.asarray(parents))
     A = remove_rest_joint_translation(G, J)
-    T = jnp.einsum("vj,jab->vab", model.weights, A, precision=hi)  # [V, 4, 4]
+    T = jnp.einsum("vj,jab->vab", arrays["weights"], A, precision=hi)  # [V, 4, 4]
     v_h = jnp.concatenate([v_posed, jnp.ones_like(v_posed[:, :1])], axis=-1)
     verts = jnp.einsum("vab,vb->va", T, v_h, precision=hi)[:, :3]
     joints = G[:, :3, 3]

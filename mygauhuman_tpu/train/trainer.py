@@ -72,7 +72,9 @@ def create_train_state(
 ) -> tuple[TrainState, optax.GradientTransformation]:
     params = TrainableParams(gauss.params, pose_refiner, lbs_offset)
     tx = make_optimizer(cfg, params, spatial_lr_scale)
-    opt_state = tx.init(params)
+    # one jitted program: eager init dispatched ~100 tiny zeros_like ops
+    # through the remote tunnel (~20 s/process at 64k capacity)
+    opt_state = jax.jit(tx.init)(params)
     return TrainState(
         gauss=gauss,
         pose_refiner=pose_refiner,
@@ -431,7 +433,12 @@ def train_loop(
         # one [V, ...] device-resident stack of all train views: chunks
         # scan over index vectors and gather on device (no H2D per chunk,
         # no [K, ...] batch buffer). Same total bytes as the view list.
-        views = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
+        # ONE jitted program (eager per-leaf stacks paid a tunnel round
+        # trip each on remote backends)
+        views = jax.jit(
+            lambda bs: jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *bs)
+        )(tuple(batches))
 
     def pick_index():
         nonlocal stack

@@ -31,5 +31,8 @@ def enable_persistent_cache(path: str | None = None) -> str:
     path = path or env or _DEFAULT
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # 0.1 s floor: with the 1.0 s default, every small eager/init program
+    # sat below the threshold and recompiled through the tunnel on every
+    # process start (hundreds of round trips during scene build)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     return path
