@@ -255,87 +255,95 @@ def read_cameras_zju(
             ]
     decoded = _prefetch_decoded(flat_paths)
 
-    cam_infos = []
-    idx = 0
-    for pose_index in range(len(ims)):
-        for view_index in range(len(output_view)):
-            image_path = os.path.join(
-                path, str(ims[pose_index][view_index]).replace("\\", "/")
-            )
-            image_name = str(ims[pose_index][view_index]).split(".")[0]
-            d_img, d_nrm, d_msk = decoded[3 * idx: 3 * idx + 3]
-            image = d_img
+    def build_view(args):
+        idx, pose_index, view_index = args
+        image_path = os.path.join(
+            path, str(ims[pose_index][view_index]).replace("\\", "/")
+        )
+        image_name = str(ims[pose_index][view_index]).split(".")[0]
+        d_img, d_nrm, d_msk = decoded[3 * idx: 3 * idx + 3]
+        image = d_img
 
-            normal = d_nrm if d_nrm is not None else np.zeros_like(image)
-            msk = (d_msk != 0).astype(np.uint8)
-            if msk.ndim == 3:
-                msk = msk[..., 0]
+        normal = d_nrm if d_nrm is not None else np.zeros_like(image)
+        msk = (d_msk != 0).astype(np.uint8)
+        if msk.ndim == 3:
+            msk = msk[..., 0]
 
-            cam_ind = cam_inds[pose_index][view_index]
-            K = np.array(cams["K"][cam_ind], np.float64)
-            D = np.array(cams["D"][cam_ind], np.float64)
-            R = np.array(cams["R"][cam_ind], np.float64)
-            T = np.array(cams["T"][cam_ind], np.float64) / 1000.0
+        cam_ind = cam_inds[pose_index][view_index]
+        K = np.array(cams["K"][cam_ind], np.float64)
+        D = np.array(cams["D"][cam_ind], np.float64)
+        R = np.array(cams["R"][cam_ind], np.float64)
+        T = np.array(cams["T"][cam_ind], np.float64) / 1000.0
 
-            image = cv2.undistort(image, K, D)
-            normal = cv2.undistort(normal, K, D)
-            msk = cv2.undistort(msk, K, D)
+        image = cv2.undistort(image, K, D)
+        normal = cv2.undistort(normal, K, D)
+        msk = cv2.undistort(msk, K, D)
 
-            bg = 1.0 if white_background else 0.0
-            image[msk == 0] = bg
-            normal[msk == 0] = bg
+        bg = 1.0 if white_background else 0.0
+        image[msk == 0] = bg
+        normal[msk == 0] = bg
 
-            w2c = np.eye(4)
-            w2c[:3, :3] = R
-            w2c[:3, 3:4] = T.reshape(3, 1)
-            R_glm = np.transpose(w2c[:3, :3])
-            T_vec = w2c[:3, 3]
+        w2c = np.eye(4)
+        w2c[:3, :3] = R
+        w2c[:3, 3:4] = T.reshape(3, 1)
+        R_glm = np.transpose(w2c[:3, :3])
+        T_vec = w2c[:3, 3]
 
-            if image_scaling != 1.0:
-                H = int(image.shape[0] * image_scaling)
-                W = int(image.shape[1] * image_scaling)
-                image = cv2.resize(image, (W, H), interpolation=cv2.INTER_AREA)
-                normal = cv2.resize(normal, (W, H),
-                                    interpolation=cv2.INTER_AREA)
-                msk = cv2.resize(msk, (W, H), interpolation=cv2.INTER_NEAREST)
-                K = K.copy()
-                K[:2] = K[:2] * image_scaling
+        if image_scaling != 1.0:
+            H = int(image.shape[0] * image_scaling)
+            W = int(image.shape[1] * image_scaling)
+            image = cv2.resize(image, (W, H), interpolation=cv2.INTER_AREA)
+            normal = cv2.resize(normal, (W, H),
+                                interpolation=cv2.INTER_AREA)
+            msk = cv2.resize(msk, (W, H), interpolation=cv2.INTER_NEAREST)
+            K = K.copy()
+            K[:2] = K[:2] * image_scaling
 
-            H, W = image.shape[:2]
-            fovx = focal2fov(float(K[0, 0]), W)
-            fovy = focal2fov(float(K[1, 1]), H)
+        H, W = image.shape[:2]
+        fovx = focal2fov(float(K[0, 0]), W)
+        fovy = focal2fov(float(K[1, 1]), H)
 
-            i = int(os.path.basename(image_path)[:-4])
-            xyz = np.load(
-                os.path.join(path, "smpl_vertices", f"{i}.npy")
-            ).astype(np.float32)
-            smpl_param = np.load(
-                os.path.join(path, "smpl_params", f"{i}.npy"),
-                allow_pickle=True,
-            ).item()
-            smpl_param = dict(smpl_param)
-            smpl_param["R"] = cv2.Rodrigues(np.asarray(smpl_param["Rh"], np.float64).reshape(3))[0].astype(
-                np.float32
-            )
-            for k in ("Th", "shapes", "poses"):
-                smpl_param[k] = np.asarray(smpl_param[k], np.float32)
+        i = int(os.path.basename(image_path)[:-4])
+        xyz = np.load(
+            os.path.join(path, "smpl_vertices", f"{i}.npy")
+        ).astype(np.float32)
+        smpl_param = np.load(
+            os.path.join(path, "smpl_params", f"{i}.npy"),
+            allow_pickle=True,
+        ).item()
+        smpl_param = dict(smpl_param)
+        smpl_param["R"] = cv2.Rodrigues(np.asarray(smpl_param["Rh"], np.float64).reshape(3))[0].astype(
+            np.float32
+        )
+        for k in ("Th", "shapes", "poses"):
+            smpl_param[k] = np.asarray(smpl_param[k], np.float32)
 
-            lo = xyz.min(axis=0) - 0.05
-            hi = xyz.max(axis=0) + 0.05
-            world_bound = np.stack([lo, hi])
-            bound_mask = get_bound_2d_mask(world_bound, K, w2c[:3], H, W)
+        lo = xyz.min(axis=0) - 0.05
+        hi = xyz.max(axis=0) + 0.05
+        world_bound = np.stack([lo, hi])
+        bound_mask = get_bound_2d_mask(world_bound, K, w2c[:3], H, W)
 
-            cam_infos.append(CameraInfo(
-                uid=idx, pose_id=pose_index, R=R_glm, T=T_vec, K=K,
-                FovY=fovy, FovX=fovx, image=image, normal=normal,
-                image_path=image_path, image_name=image_name,
-                bkgd_mask=msk.astype(np.float32), bound_mask=bound_mask,
-                width=W, height=H, smpl_param=smpl_param, world_vertex=xyz,
-                world_bound=world_bound, big_pose_smpl_param=big_param,
-                big_pose_world_vertex=big_xyz, big_pose_world_bound=big_bound,
-                smpl_normal=big_normals,
-            ))
-            idx += 1
+        return CameraInfo(
+            uid=idx, pose_id=pose_index, R=R_glm, T=T_vec, K=K,
+            FovY=fovy, FovX=fovx, image=image, normal=normal,
+            image_path=image_path, image_name=image_name,
+            bkgd_mask=msk.astype(np.float32), bound_mask=bound_mask,
+            width=W, height=H, smpl_param=smpl_param, world_vertex=xyz,
+            world_bound=world_bound, big_pose_smpl_param=big_param,
+            big_pose_world_vertex=big_xyz, big_pose_world_bound=big_bound,
+            smpl_normal=big_normals,
+        )
+
+    # per-view assembly (undistort/resize/bound-mask: cv2 + numpy, all
+    # GIL-releasing) runs on a thread pool; order-preserving map
+    from concurrent.futures import ThreadPoolExecutor
+
+    jobs = [(i, pi, vi)
+            for i, (pi, vi) in enumerate(
+                (p_, v_) for p_ in range(len(ims))
+                for v_ in range(len(output_view)))]
+    with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) as ex:
+        cam_infos = list(ex.map(build_view, jobs))
     return cam_infos
 
 
