@@ -82,7 +82,7 @@ def build_instance_data(
     opacities: jnp.ndarray,     # [N]
     depths: jnp.ndarray,        # [N]
     features: jnp.ndarray,      # [N, C]
-    chunk: int = 2 * LANE,
+    chunk: int = LANE,
     order: jnp.ndarray | None = None,   # [N] rank -> gaussian id
 ) -> InstanceData:
     """Gather per-instance rows once; one XLA gather, fused upstream.
@@ -125,12 +125,25 @@ def _lane_cumsum(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def _lane_cumprod(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix product along lanes (axis=1), shift-multiply."""
+    chunk = x.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    s = 1
+    while s < chunk:
+        shifted = pltpu.roll(x, shift=s, axis=1)
+        x = x * jnp.where(lane >= s, shifted, 1.0)
+        s *= 2
+    return x
+
+
 def _accumulate_tile(
     data_ref, chunk_buf, sem,
     start, count, px, py,
     *,
     n_feat: int,
     chunk: int,
+    first=None,
 ):
     """Front-to-back blend of one tile's instance slice: returns
     (acc [2 + n_feat, P] = [d_sum; w_sum; features], final_t [P, 1]).
@@ -139,7 +152,12 @@ def _accumulate_tile(
 
     Double-buffered: chunk_buf is [2, D, chunk]; chunk ci+1's DMA is in
     flight while ci computes (the serial start/wait form left the VPU idle
-    for the full DMA latency every chunk).
+    for the full DMA latency every chunk). `first=(first_buf, first_sem,
+    ti)` means the CALLER already issued this tile's chunk-0 DMA into
+    first_buf[ti] (cross-tile prefetch: at ~1 chunk per tile the
+    start/wait latency of chunk 0 was the kernel's dominant serial cost —
+    one full DMA latency per nonempty tile); chunk 0 is then consumed from
+    there and the double buffer serves chunks >= 1.
 
     TWO transmittance carries (spec: ops/blend.py:9-18): log_t_all sums
     EVERY valid l1ma — the full cumprod whose t_after drives the include
@@ -161,29 +179,22 @@ def _accumulate_tile(
             sem.at[slot],
         )
 
-    dma(0, 0).start()
-
-    def body(ci, carry):
-        acc, log_t_all, log_t_inc = carry
-        slot = jax.lax.rem(ci, 2)
-
-        @pl.when(ci + 1 < n_chunks)
-        def _():
-            dma(ci + 1, 1 - slot).start()
-
-        dma(ci, slot).wait()
+    def math(rd, ci, carry):
+        """One chunk of blend math; rd(lo, hi) reads rows [lo, hi) of the
+        chunk's [D, chunk] buffer."""
+        acc, t_all, t_inc = carry
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         glane = ci * chunk + lane
         in_range = (
             (glane >= offset) & (glane < offset + count)
         ).astype(jnp.float32)
 
-        xy_x = chunk_buf[slot, 0:1, :]
-        xy_y = chunk_buf[slot, 1:2, :]
-        cxx = chunk_buf[slot, 2:3, :]
-        cxy = chunk_buf[slot, 3:4, :]
-        cyy = chunk_buf[slot, 4:5, :]
-        op = chunk_buf[slot, 5:6, :]
+        xy_x = rd(0, 1)
+        xy_y = rd(1, 2)
+        cxx = rd(2, 3)
+        cxy = rd(3, 4)
+        cyy = rd(4, 5)
+        op = rd(5, 6)
 
         dx = xy_x - px
         dy = xy_y - py
@@ -193,45 +204,82 @@ def _accumulate_tile(
         a = jnp.where(ok, alpha, 0.0) * in_range
 
         l1ma = jnp.log1p(-a)
-        cum = _lane_cumsum(l1ma) + log_t_all
+        cum = _lane_cumsum(l1ma) + t_all          # t_all: log-space carry
         t_after = jnp.exp(cum)
-        t_before = jnp.exp(cum - l1ma)
+        # t_before = exp(cum - l1ma) == t_after / (1 - a): one divide
+        # instead of a second transcendental pass over [P, chunk]
+        t_before = t_after / (1.0 - a)            # a <= 0.99, never /0
         include = (a > 0.0) & (t_after >= 1e-4)
         w = jnp.where(include, a * t_before, 0.0)
 
         # rows [depth, ONES, feat...] x w -> [2 + nf, P]: depth sum,
         # weight sum and color accumulation in ONE MXU contraction
         acc = acc + jax.lax.dot_general(
-            chunk_buf[slot, HDR - 2:, :], w,
+            rd(HDR - 2, None), w,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        log_t_all = log_t_all + jnp.sum(l1ma, axis=1, keepdims=True)
-        log_t_inc = log_t_inc + jnp.sum(
+        t_all = t_all + jnp.sum(l1ma, axis=1, keepdims=True)
+        t_inc = t_inc + jnp.sum(
             jnp.where(include, l1ma, 0.0), axis=1, keepdims=True
         )
-        return acc, log_t_all, log_t_inc
+        return acc, t_all, t_inc
 
+    # ---- chunk 0: from the caller's prefetch buffer, or a local DMA
+    @pl.when(n_chunks > 1)
+    def _():
+        dma(1, 1).start()          # overlap chunk 1 with chunk 0's math
+
+    if first is None:
+        dma(0, 0).start()
+        dma(0, 0).wait()
+
+        def rd0(lo, hi):
+            return chunk_buf[0, lo:hi, :]
+    else:
+        first_buf, first_sem, ti = first
+        pltpu.make_async_copy(
+            data_ref.at[:, pl.ds(pl.multiple_of(base0, chunk), chunk)],
+            first_buf.at[ti],
+            first_sem.at[ti],
+        ).wait()
+
+        def rd0(lo, hi):
+            return first_buf[ti, lo:hi, :]
+
+    acc0 = jnp.zeros((2 + n_feat, P), jnp.float32)
+    zero1 = jnp.zeros((P, 1), jnp.float32)
+    carry = math(rd0, 0, (acc0, zero1, zero1))
+
+    # ---- chunks >= 1: double-buffered while loop.
     # Early termination (exact): the full-cumprod t_after is monotone
     # decreasing, so once every pixel's log_t_all < log(1e-4) all later
     # instances fail the include test — skipping their chunks changes
     # nothing (parity: forward.cu:341-356's per-pixel done flag / block
     # contributor stop). Dense tiles saturate within their first chunk.
+    def body(ci, carry):
+        slot = jax.lax.rem(ci, 2)
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            dma(ci + 1, 1 - slot).start()
+
+        dma(ci, slot).wait()
+        return math(lambda lo, hi: chunk_buf[slot, lo:hi, :], ci, carry)
+
     log_eps = jnp.float32(-9.210340371976182)   # log(1e-4)
 
     def cond(state):
-        ci, _, log_t_all, _ = state
-        return (ci < n_chunks) & (jnp.max(log_t_all) >= log_eps)
+        ci, _, t_all, _ = state
+        return (ci < n_chunks) & (jnp.max(t_all) >= log_eps)
 
     def wbody(state):
-        ci, acc, log_t_all, log_t_inc = state
-        acc, log_t_all, log_t_inc = body(ci, (acc, log_t_all, log_t_inc))
-        return ci + 1, acc, log_t_all, log_t_inc
+        ci, acc, t_all, t_inc = state
+        acc, t_all, t_inc = body(ci, (acc, t_all, t_inc))
+        return ci + 1, acc, t_all, t_inc
 
-    acc0 = jnp.zeros((2 + n_feat, P), jnp.float32)
-    zero1 = jnp.zeros((P, 1), jnp.float32)
-    ci, acc, _, log_t_inc = jax.lax.while_loop(
-        cond, wbody, (jnp.zeros((), jnp.int32), acc0, zero1, zero1)
+    ci, acc, _, t_inc = jax.lax.while_loop(
+        cond, wbody, (jnp.ones((), jnp.int32),) + carry
     )
 
     # drain the in-flight prefetch if the loop exited early (body ci-1
@@ -241,7 +289,7 @@ def _accumulate_tile(
     def _():
         dma(ci, jax.lax.rem(ci, 2)).wait()
 
-    return acc, jnp.exp(log_t_inc)
+    return acc, jnp.exp(t_inc)
 
 
 def _blend_kernel(
@@ -322,7 +370,7 @@ def _blend_row_kernel(
     starts_ref, counts_ref, tile_base_ref,   # scalar prefetch
     data_ref,                     # [D, NS] in ANY/HBM
     out_ref,                      # [c_stage, Hp, Wp] PLANAR in ANY/HBM
-    chunk_buf, stage_row, sem, sem2,   # scratch
+    chunk_buf, stage_row, first_buf, sem, sem2, sem_first,   # scratch
     *,
     tile_w: int,
     tile_h: int,
@@ -348,11 +396,53 @@ def _blend_row_kernel(
     pix_x = (pix % tile_w).astype(jnp.float32)
     pix_y = (pix // tile_w).astype(jnp.float32)
 
+    # Double-buffered strip staging: each grid step stages into slot
+    # s%2 and STARTS its write without waiting — the wait for the write
+    # issued at step s-2 (same slot) happens here, before the slot is
+    # reused. The serial start->wait form stalled every strip on the
+    # full write-DMA latency (~128 strips/frame at 512^2).
+    s_id = pl.program_id(0)
+    ns = pl.num_programs(0)
+    s2 = jax.lax.rem(s_id, 2)
+
+    def strip_write(slot, step):
+        row = (step * tiles_per_step) // tiles_x
+        col0 = (step * tiles_per_step) % tiles_x
+        y_off = pl.multiple_of(row * tile_h, tile_h)
+        x_off = pl.multiple_of(col0 * tile_w, TBW)
+        return pltpu.make_async_copy(
+            stage_row.at[slot],
+            out_ref.at[:, pl.ds(y_off, tile_h), pl.ds(x_off, TBW)],
+            sem2.at[slot],
+        )
+
+    @pl.when(s_id >= 2)
+    def _():
+        strip_write(s2, s_id - 2).wait()
+
     # background prefill for the whole strip: zeros, final_t row = 1
     rows3 = jax.lax.broadcasted_iota(
-        jnp.int32, (stage_row.shape[0], tile_h, TBW), 0
+        jnp.int32, (stage_row.shape[1], tile_h, TBW), 0
     )
-    stage_row[...] = jnp.where(rows3 == n_real + 2, 1.0, 0.0)
+    stage_row[s2] = jnp.where(rows3 == n_real + 2, 1.0, 0.0)
+
+    # cross-tile prefetch: issue EVERY nonempty tile's chunk-0 DMA up
+    # front, so only the strip's first tile ever stalls on DMA latency
+    # (at ~1 chunk per tile that latency was the dominant serial cost:
+    # one start->wait round trip per nonempty tile)
+    for ti in range(tiles_per_step):
+        t = pl.program_id(0) * tiles_per_step + ti
+        start = starts_ref[t]
+        count = counts_ref[t]
+
+        @pl.when(count > 0)
+        def _():
+            base = pl.multiple_of((start // chunk) * chunk, chunk)
+            pltpu.make_async_copy(
+                data_ref.at[:, pl.ds(base, chunk)],
+                first_buf.at[ti],
+                sem_first.at[ti],
+            ).start()
 
     def one_tile(ti):
         t = pl.program_id(0) * tiles_per_step + ti
@@ -368,6 +458,7 @@ def _blend_row_kernel(
                 data_ref, chunk_buf, sem, start, count,
                 x0 + pix_x, y0 + pix_y,
                 n_feat=n_feat, chunk=chunk,
+                first=(first_buf, sem_first, ti),
             )
             # rows [n_real color, w_sum, d_sum, final_t]
             val = jnp.concatenate(
@@ -378,29 +469,28 @@ def _blend_row_kernel(
             # scatter the tile's columns into the row strip: static
             # lane-slice moves (VREG shuffles), no HBM traffic
             for y in range(tile_h):
-                stage_row[:n_real + 3, y, ti * tile_w:(ti + 1) * tile_w] = (
+                stage_row[s2, :n_real + 3, y,
+                          ti * tile_w:(ti + 1) * tile_w] = (
                     val[:, y * tile_w:(y + 1) * tile_w]
                 )
 
     for ti in range(tiles_per_step):
         one_tile(ti)
 
-    # one aligned DMA per strip: [c_stage, tile_h, TBW] into the planar image
-    s = pl.program_id(0)
-    row = (s * tiles_per_step) // tiles_x
-    col0 = (s * tiles_per_step) % tiles_x
-    # alignment hints so Mosaic can prove the slice offsets divide the
-    # (8, 128) tiling: col0 is a multiple of TB, so col0*tile_w is a
-    # multiple of TBW (>= 128 by the row_mode_supported contract)
-    y_off = pl.multiple_of(row * tile_h, tile_h)
-    x_off = pl.multiple_of(col0 * tile_w, TBW)
-    wr = pltpu.make_async_copy(
-        stage_row,
-        out_ref.at[:, pl.ds(y_off, tile_h), pl.ds(x_off, TBW)],
-        sem2,
-    )
-    wr.start()
-    wr.wait()
+    # one aligned DMA per strip (alignment: col0 is a multiple of TB, so
+    # col0*tile_w is a multiple of TBW >= 128 by the row_mode_supported
+    # contract); started here, waited two steps later / at kernel end
+    strip_write(s2, s_id).start()
+
+    # final step: drain every write still in flight (own + the step-(ns-2)
+    # write on the other slot, which no later step will wait for)
+    @pl.when(s_id == ns - 1)
+    def _():
+        @pl.when(ns >= 2)
+        def _():
+            strip_write(1 - s2, ns - 2).wait()
+
+        strip_write(s2, s_id).wait()
 
 
 def row_mode_supported(
@@ -438,7 +528,7 @@ def blend_rows_raw(
     n_channels: int,
     tile_w: int = 16,
     tile_h: int = 16,
-    chunk: int = 2 * LANE,
+    chunk: int = LANE,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Row-staged planar blend -> [c_stage, (n_tiles/tiles_x)*tile_h,
@@ -458,10 +548,13 @@ def blend_rows_raw(
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, D, chunk), jnp.float32),   # double-buffered
-            pltpu.VMEM((c_stage, tile_h, TB * tile_w), jnp.float32),
+            pltpu.VMEM((2, D, chunk), jnp.float32),   # double-buffered reads
+            # double-buffered strip staging (write DMA overlaps next strip)
+            pltpu.VMEM((2, c_stage, tile_h, TB * tile_w), jnp.float32),
+            pltpu.VMEM((TB, D, chunk), jnp.float32),  # chunk-0 prefetches
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((TB,)),
         ],
     )
     kernel = functools.partial(
@@ -518,7 +611,7 @@ def blend_tiles_raw(
     n_channels: int,
     tile_w: int = 16,
     tile_h: int = 16,
-    chunk: int = 2 * LANE,
+    chunk: int = LANE,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Run the blend kernel over `n_tiles` consecutive tiles of a global
@@ -588,7 +681,7 @@ def blend_pallas_raw(
     n_channels: int,
     tile_w: int = 16,
     tile_h: int = 16,
-    chunk: int = 2 * LANE,
+    chunk: int = LANE,
     interpret: bool = False,
 ):
     """Run the kernel; returns (image [H,W,n_channels], alpha, depth,
