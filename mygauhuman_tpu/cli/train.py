@@ -74,6 +74,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="train with the tile-sharded SPMD step over a "
                         "(data, gauss, tiles) hybrid mesh spanning all "
                         "attached devices")
+    p.add_argument("--bake_cells", type=int, default=128,
+                   help="occlusion-bake voxel budget (PBR phase): occupied "
+                        "10^3-grid cells baked per camera; Gaussians beyond "
+                        "it get full visibility and are counted in "
+                        "bake_out_of_budget. The default is sized for the "
+                        "~7k-Gaussian init; raise (e.g. 512) for densified "
+                        "scenes to trade bake time for AO coverage")
     p.add_argument("--exchange_capacity", type=int, default=16384,
                    help="per-(shard, strip) instance window of the "
                         "multichip all_to_all exchange")
@@ -493,6 +500,7 @@ def main(argv=None) -> dict:
             num_iterations=cfg.iterations - phase_a_iters,
             max_sh_degree=args.sh_degree, seed=args.seed,
             callback=pbr_callback,
+            bake_max_cells=args.bake_cells,
             scan_chunk=scan_chunk,
             callback_iters=tuple(sorted(set(args.test_iterations)
                                         | set(args.save_iterations))),

@@ -375,6 +375,7 @@ def train_loop_pbr(
     seed: int = 0,
     bake_height: int = 16,
     bake_width: int = 32,
+    bake_max_cells: int = 128,
     callback=None,
     scan_chunk: int = 1,
     callback_iters: tuple = (),
@@ -451,6 +452,7 @@ def train_loop_pbr(
             world_nrm,
             ts.gauss.alive,
             height=bake_height, width=bake_width,
+            max_cells=bake_max_cells,
         ))
 
     def ensure_baked(bi):
