@@ -125,18 +125,6 @@ def _lane_cumsum(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def _lane_cumprod(x: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive prefix product along lanes (axis=1), shift-multiply."""
-    chunk = x.shape[1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    s = 1
-    while s < chunk:
-        shifted = pltpu.roll(x, shift=s, axis=1)
-        x = x * jnp.where(lane >= s, shifted, 1.0)
-        s *= 2
-    return x
-
-
 def _accumulate_tile(
     data_ref, chunk_buf, sem,
     start, count, px, py,
