@@ -262,8 +262,16 @@ def main(argv=None) -> dict:
         def step_fn(ts, batch, deg):
             return base_step(ts, stack_batches([batch]), deg)
     else:
+        # static LPIPS window sized to the SCENE's max subject bbox (the
+        # VGG cost scales with window area; 384 -> 320 at ZJU scale is
+        # ~4 ms/step)
+        from mygauhuman_tpu.train.trainer import scene_lpips_crop
+
+        lpips_crop = scene_lpips_crop(
+            [np.asarray(b.bound_mask) for b in train_batches])
         step_fn = make_train_step(smpl_model, tx, cfg, raster_cfg, bg=bg,
-                                  lpips_fn=lpips_obj, donate=True)
+                                  lpips_fn=lpips_obj, donate=True,
+                                  lpips_crop=lpips_crop)
     logger = MetricLogger(out_dir)
 
     gui = None

@@ -88,14 +88,36 @@ def create_train_state(
 #: subject's bound-mask bbox fits comfortably inside 384x384 of the 512x512
 #: frame; anything the window misses was already zeroed by the mask on BOTH
 #: images, so the distance is unaffected in the common case and merely
-#: under-crops (extra zero border) in the worst case.
+#: under-crops (extra zero border) in the worst case. Callers that know the
+#: scene's real max bbox (cli/train computes it from the bound masks at
+#: setup) pass a tighter `lpips_crop` — the VGG cost scales with the
+#: window area, ~4 ms/step between 384^2 and 320^2 at 512^2 frames.
 LPIPS_CROP = 384
 
 
-def _lpips_crop(stack: jnp.ndarray, bm: jnp.ndarray) -> jnp.ndarray:
+def scene_lpips_crop(bound_masks, pad: int = 8, align: int = 32) -> int:
+    """Tightest static LPIPS window covering every view's bound-mask bbox
+    (+pad), rounded up to `align`. Returns the side length."""
+    import numpy as np
+
+    ext = 1
+    for bm in bound_masks:
+        bm = np.asarray(bm) > 0
+        if not bm.any():
+            continue
+        rows = np.nonzero(bm.any(axis=1))[0]
+        cols = np.nonzero(bm.any(axis=0))[0]
+        ext = max(ext, rows[-1] - rows[0] + 1, cols[-1] - cols[0] + 1)
+    side = -(-(ext + 2 * pad) // align) * align
+    return int(min(side, max(np.asarray(b).shape[0] for b in bound_masks),
+                   max(np.asarray(b).shape[1] for b in bound_masks)))
+
+
+def _lpips_crop(stack: jnp.ndarray, bm: jnp.ndarray,
+                crop: int = LPIPS_CROP) -> jnp.ndarray:
     """Crop [K, H, W, 3] to the static LPIPS window centered on mask bbox."""
     H, W = bm.shape
-    ch, cw = min(LPIPS_CROP, H), min(LPIPS_CROP, W)
+    ch, cw = min(crop, H), min(crop, W)
     if (ch, cw) == (H, W):
         return stack
     on = bm > 0
@@ -114,6 +136,7 @@ def compute_losses_a(
     batch: TrainBatch,
     scaling_mean: jnp.ndarray,
     lpips_fn: Callable | None = None,
+    lpips_crop: int = LPIPS_CROP,
 ) -> tuple[jnp.ndarray, dict]:
     """Loss branch A (iter <= pbr_iteration), train.py:256-291.
 
@@ -141,7 +164,7 @@ def compute_losses_a(
             out.render * bm3, batch.gt_image * bm3,
             out.normal * bm3, batch.gt_normal * bm3,
         ])
-        crop = _lpips_crop(stack, bm)
+        crop = _lpips_crop(stack, bm, lpips_crop)
         lpips_val = jnp.sum(lpips_fn(crop[0::2], crop[1::2]))
     else:
         lpips_val = jnp.zeros(())
@@ -182,6 +205,7 @@ def make_train_step(
     bg: jnp.ndarray,
     lpips_fn: Callable | None = None,
     donate: bool = False,
+    lpips_crop: int = LPIPS_CROP,
 ):
     """Build the jitted train step. Retraces per (capacity, sh_degree).
 
@@ -245,7 +269,8 @@ def make_train_step(
             scaling_mean = jnp.sum(
                 G.get_scaling(params.gaussians) * alive_f[:, None]
             ) / jnp.maximum(jnp.sum(alive_f) * 3, 1.0)
-            total, metrics = compute_losses_a(out, batch, scaling_mean, lfn)
+            total, metrics = compute_losses_a(out, batch, scaling_mean,
+                                              lfn, lpips_crop)
             metrics["overflow_tiles"] = out.overflow_tiles
             metrics["overflow_gauss"] = out.overflow_gauss
             metrics["overflow_inst"] = out.overflow_inst
