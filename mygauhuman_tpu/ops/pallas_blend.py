@@ -106,7 +106,12 @@ def build_instance_data(
     # [D, NS] matrix (a 400us pad of 128 MB at 64k capacity); padded entries
     # gather gaussian 0 — finite garbage the kernel's count mask never reads.
     # Indices are always < n, so promise_in_bounds skips the oob select.
-    pad = chunk + ((-ns) % chunk)
+    # Padding granularity covers BOTH kernels' chunk sizes: the backward
+    # kernel slices 2*LANE windows of this same matrix, so a smaller
+    # forward chunk must not shrink the tail padding (an out-of-range
+    # pl.ds clamps the base and mis-aligns the tail chunk's lane mask).
+    pad_chunk = max(chunk, 2 * LANE)
+    pad = pad_chunk + ((-ns) % pad_chunk)
     g_pad = jnp.concatenate([g, jnp.zeros((pad,), g.dtype)])
     data = attrs.at[:, g_pad].get(mode="promise_in_bounds")
     return InstanceData(data=data, starts=starts, counts=counts)
