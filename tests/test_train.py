@@ -256,3 +256,22 @@ def test_band_matrix_traced_matches_dense_oracle():
         ref = _band_matrix(size, 11, 1.5)
         got = np.asarray(_band_matrix_traced(size, 11, 1.5))
         np.testing.assert_array_equal(got, ref)
+
+
+def test_scene_lpips_crop_sizing():
+    """The static LPIPS window covers every view's bbox (+pad), aligned."""
+    import numpy as np
+
+    from mygauhuman_tpu.train.trainer import scene_lpips_crop
+
+    bm1 = np.zeros((512, 512), np.float32)
+    bm1[100:300, 50:150] = 1            # 200 x 100
+    bm2 = np.zeros((512, 512), np.float32)
+    bm2[10:280, 200:480] = 1            # 270 x 280
+    side = scene_lpips_crop([bm1, bm2], pad=8, align=32)
+    assert side == 320                   # 280 + 16 -> 296 -> ceil32 = 320
+    # degenerate empty masks fall back to the minimum window
+    assert scene_lpips_crop([np.zeros((64, 64))]) == 32
+    # never exceeds the frame
+    big = np.ones((96, 96), np.float32)
+    assert scene_lpips_crop([big]) == 96
