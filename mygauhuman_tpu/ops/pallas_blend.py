@@ -972,3 +972,67 @@ def _blend_instances_bwd(
 
 
 blend_instances.defvjp(_blend_instances_fwd, _blend_instances_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def blend_instances_planar(
+    data, starts, counts, tile_base,
+    n_tiles, tiles_x, n_channels, tile_w, tile_h, interpret,
+):
+    """Differentiable raw blend with a PLANAR output
+    [c_stage, (n_tiles/tiles_x)*tile_h, tiles_x*tile_w] via the row-staged
+    kernel — the fast path for shard strips covering whole tile rows
+    (`row_mode_supported(n_tiles, tiles_x, ...) > 0` required): the
+    tile-major kernel + XLA [T, c, P] -> [H, W, C] relayout costs ~3x the
+    row kernel at 512^2 (PERF.md round-4 sharded numbers). Planar strips
+    concatenate along H across shards and finish with `finish_planar`."""
+    return blend_rows_raw(
+        data, starts, counts, tile_base,
+        n_tiles=n_tiles, tiles_x=tiles_x, n_channels=n_channels,
+        tile_w=tile_w, tile_h=tile_h,
+        interpret=interpret,
+    )
+
+
+def _blend_instances_planar_fwd(
+    data, starts, counts, tile_base,
+    n_tiles, tiles_x, n_channels, tile_w, tile_h, interpret,
+):
+    out = blend_instances_planar(
+        data, starts, counts, tile_base,
+        n_tiles, tiles_x, n_channels, tile_w, tile_h, interpret,
+    )
+    return out, (data, starts, counts, tile_base)
+
+
+def _blend_instances_planar_bwd(
+    n_tiles, tiles_x, n_channels, tile_w, tile_h, interpret, res, g,
+):
+    from mygauhuman_tpu.ops.pallas_blend_bwd import blend_tiles_bwd_raw
+
+    data, starts, counts, tile_base = res
+    D = data.shape[0]
+    n_feat = D - HDR
+    P = tile_w * tile_h
+    n_rows = n_tiles // tiles_x
+    c_stage = g.shape[0]
+    # planar cotangent [c_stage, Hs, Ws] -> tile-major [T, P, c_stage]
+    gt = g.reshape(c_stage, n_rows, tile_h, tiles_x, tile_w)
+    gt = jnp.transpose(gt, (1, 3, 2, 4, 0)).reshape(n_tiles, P, c_stage)
+    gc = gt[..., :n_channels]
+    aux = gt[..., n_channels:n_channels + 3]
+    cot = jnp.concatenate(
+        [gc, jnp.zeros((n_tiles, P, n_feat - n_channels), jnp.float32),
+         aux],
+        axis=-1,
+    )
+    d_data = blend_tiles_bwd_raw(
+        data, starts, counts, tile_base, cot,
+        n_tiles=n_tiles, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h,
+        interpret=interpret,
+    )[:, :D].T
+    return (d_data, None, None, None)
+
+
+blend_instances_planar.defvjp(
+    _blend_instances_planar_fwd, _blend_instances_planar_bwd)

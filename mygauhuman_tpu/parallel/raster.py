@@ -40,7 +40,10 @@ from mygauhuman_tpu.ops.pallas_blend import (
     LANE,
     attr_matrix,
     blend_instances,
+    blend_instances_planar,
+    finish_planar,
     finish_tiles,
+    row_mode_supported,
 )
 from mygauhuman_tpu.ops.projection import preprocess
 from mygauhuman_tpu.ops.rasterize import RasterizeOutput, RasterizerConfig
@@ -48,6 +51,14 @@ from mygauhuman_tpu.ops.rasterize import RasterizeOutput, RasterizerConfig
 
 def mesh_shard_count(mesh: Mesh, axis_names: tuple) -> int:
     return int(math.prod(mesh.shape[a] for a in axis_names))
+
+
+def strip_planar_ok(t_strip: int, tiles_x: int, tile_w: int,
+                    tile_h: int) -> bool:
+    """True when per-shard strips cover whole tile rows AND the row-staged
+    kernel supports the geometry — the planar fast path applies."""
+    return (t_strip % tiles_x == 0
+            and row_mode_supported(t_strip, tiles_x, tile_w, tile_h) > 0)
 
 
 def raster_strip_core(
@@ -119,17 +130,24 @@ def raster_strip_core(
     )
     starts_ext = jnp.concatenate([bins.starts, total_live[None]])
     # compact the kept (first-K-per-tile) entries: tile-major order is
-    # preserved, so dest offsets are the capped bounds + in-tile position
+    # preserved, so dest offsets are the capped bounds + in-tile position.
+    # Compaction is a SORT by destination, not a scatter — TPU scatters
+    # serialize (~7 ns/element; two [N*S] scatters cost ~25 ms at 64k
+    # capacity, measured), while a 3-operand sort of the same length is
+    # ~1 ms. Dropped entries get the sentinel destination ns and sort to
+    # the end, past total_capped, where the per-strip window masks (wlen)
+    # never read.
     pos = jnp.arange(ns, dtype=jnp.int32)
     pos_in_tile = pos - starts_ext[bins.sorted_tile]
     keep = (bins.sorted_tile < T) & (pos_in_tile < K)
     dest = jnp.where(
         keep, capped_bounds[bins.sorted_tile] + pos_in_tile, ns
     )
-    crank = jnp.zeros((ns,), jnp.int32).at[dest].set(
-        bins.sorted_rank, mode="drop")
-    ctile = jnp.full((ns,), T, jnp.int32).at[dest].set(
-        bins.sorted_tile, mode="drop")
+    _, crank, ctile = jax.lax.sort(
+        (dest, bins.sorted_rank,
+         jnp.where(keep, bins.sorted_tile, T)),
+        num_keys=1, is_stable=False,
+    )
 
     lo = capped_bounds[jnp.asarray(strip_lo[:-1], jnp.int32)]   # [S_n]
     hi = capped_bounds[jnp.asarray(strip_lo[1:], jnp.int32)]
@@ -202,10 +220,22 @@ def raster_strip_core(
         jnp.maximum(lends - lstarts - K, 0)
     ).astype(jnp.int32)
 
-    tiles_out = blend_instances(
-        data_sorted, lstarts, lcounts, jnp.full((1,), t0, jnp.int32),
-        T_strip, tw, n_channels, tile_w, tile_h, config.pallas_interpret,
-    )                                                   # [T_s, c_st, P]
+    # planar fast path when the strip covers whole tile rows (the common
+    # case: power-of-two shard counts over a power-of-two grid): the
+    # row-staged kernel + H-concat of planar strips avoids the tile-major
+    # kernel AND the downstream [T, c, P] -> [H, W, C] relayout
+    if strip_planar_ok(T_strip, tw, tile_w, tile_h):
+        tiles_out = blend_instances_planar(
+            data_sorted, lstarts, lcounts, jnp.full((1,), t0, jnp.int32),
+            T_strip, tw, n_channels, tile_w, tile_h,
+            config.pallas_interpret,
+        )                                   # [c_st, rows_s*tile_h, W]
+    else:
+        tiles_out = blend_instances(
+            data_sorted, lstarts, lcounts, jnp.full((1,), t0, jnp.int32),
+            T_strip, tw, n_channels, tile_w, tile_h,
+            config.pallas_interpret,
+        )                                                # [T_s, c_st, P]
 
     radii = jnp.where(visible, proj.radii, 0)
     counters = (
@@ -279,8 +309,10 @@ def rasterize_sharded(
             exchange_capacity=I_ex,
         )
 
+    planar = strip_planar_ok(T_strip, tw, tile_w, tile_h)
     out_specs = (
-        P(axis_names),   # tiles_out strips concat over the combined axis
+        # planar strips concat over H (axis 1); tile-major over tiles
+        P(None, axis_names, None) if planar else P(axis_names),
         spec_g,          # radii
         spec_g,          # means2d
         spec_g,          # visible
@@ -295,11 +327,17 @@ def rasterize_sharded(
     )(means3d, cov3d6, opacities, features, means2d_offset, alive,
       w2c, full_proj)
 
-    image, alpha, depth, final_t = finish_tiles(
-        tiles_out[:T], bg,
-        n_channels=features.shape[-1],
-        width=width, height=height, tile_w=tile_w, tile_h=tile_h,
-    )
+    if planar:
+        image, alpha, depth, final_t = finish_planar(
+            tiles_out, bg, n_channels=features.shape[-1],
+            width=width, height=height,
+        )
+    else:
+        image, alpha, depth, final_t = finish_tiles(
+            tiles_out[:T], bg,
+            n_channels=features.shape[-1],
+            width=width, height=height, tile_w=tile_w, tile_h=tile_h,
+        )
     ov_tiles, ov_gauss, ov_inst = counters
     return RasterizeOutput(
         image=image,
@@ -344,16 +382,27 @@ def make_strip_raster_fn(
             tan_fovx=tan_fovx, tan_fovy=tan_fovy, config=config,
             exchange_capacity=exchange_capacity,
         )
-        gathered = jax.lax.all_gather(
-            tiles_out, axis_names, axis=0, tiled=True
-        )                                            # [T_pad, c_stage, P]
         tw, th = tile_dims(width, height, config.tile_w, config.tile_h)
-        image, alpha, depth, final_t = finish_tiles(
-            gathered[:tw * th], bg,
-            n_channels=features.shape[-1],
-            width=width, height=height,
-            tile_w=config.tile_w, tile_h=config.tile_h,
-        )
+        T = tw * th
+        T_strip = -(-T // n_shards)
+        if strip_planar_ok(T_strip, tw, config.tile_w, config.tile_h):
+            gathered = jax.lax.all_gather(
+                tiles_out, axis_names, axis=1, tiled=True
+            )                                    # [c_stage, H_pad, W]
+            image, alpha, depth, final_t = finish_planar(
+                gathered, bg, n_channels=features.shape[-1],
+                width=width, height=height,
+            )
+        else:
+            gathered = jax.lax.all_gather(
+                tiles_out, axis_names, axis=0, tiled=True
+            )                                    # [T_pad, c_stage, P]
+            image, alpha, depth, final_t = finish_tiles(
+                gathered[:T], bg,
+                n_channels=features.shape[-1],
+                width=width, height=height,
+                tile_w=config.tile_w, tile_h=config.tile_h,
+            )
         ov_tiles, ov_gauss, ov_inst = counters
         return RasterizeOutput(
             image=image, alpha=alpha, depth=depth, final_t=final_t,

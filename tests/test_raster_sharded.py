@@ -211,3 +211,53 @@ class TestHybridMesh:
             config=RasterizerConfig(pallas_interpret=True),
         )
         assert np.isfinite(np.asarray(out.image)).all()
+
+
+class TestPlanarStrips:
+    """The planar per-strip fast path (row-staged kernel + H-concat): used
+    when shard strips cover whole tile rows. The default small-image tests
+    above exercise the tile-major fallback; this geometry (128x128, 2-shard
+    strips of 4 tile rows) exercises the planar route — forward AND
+    gradients."""
+
+    def test_planar_path_selected_and_matches(self):
+        from mygauhuman_tpu.parallel.raster import strip_planar_ok
+
+        cam, pts, scales, quats, opac, feat = make_scene(
+            n=64, seed=5, width=128, height=128)
+        cov6 = compute_cov3d(jnp.asarray(scales), jnp.asarray(quats))
+        sc = (cam, jnp.asarray(pts), cov6, jnp.asarray(opac),
+              jnp.asarray(feat))
+        # T = 8x8 = 64, 2 shards -> T_strip = 32, tiles_x = 8: planar
+        assert strip_planar_ok(32, 8, 16, 16)
+        cfg_ref = RasterizerConfig()
+        cfg_sh = RasterizerConfig(pallas_interpret=True)
+        mesh = jax.sharding.Mesh(
+            np.asarray(jax.devices()[:2]).reshape(1, 2), ("gauss", "tiles")
+        )
+        base = _run_single(sc, cfg_ref)
+        out = _run_sharded(sc, cfg_sh, mesh)
+        np.testing.assert_allclose(
+            np.asarray(out.image), np.asarray(base.image), atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(out.alpha), np.asarray(base.alpha), atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(out.depth), np.asarray(base.depth), atol=1e-4)
+
+        tgt = jnp.ones((cam.height, cam.width, 3)) * 0.3
+
+        def loss(op, ft, cfg, sharded):
+            run = _run_sharded if sharded else _run_single
+            o = run((cam, jnp.asarray(pts), cov6, op, ft), cfg,
+                    *((mesh,) if sharded else ()))
+            return (jnp.sum((o.image - tgt) ** 2) + jnp.sum(o.alpha ** 2)
+                    + 0.1 * jnp.sum(o.depth))
+
+        g_ref = jax.grad(loss, argnums=(0, 1))(
+            sc[3], sc[4], cfg_ref, False)
+        g_sh = jax.grad(loss, argnums=(0, 1))(
+            sc[3], sc[4], cfg_sh, True)
+        np.testing.assert_allclose(
+            np.asarray(g_sh[0]), np.asarray(g_ref[0]), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(g_sh[1]), np.asarray(g_ref[1]), rtol=1e-4, atol=1e-5)
