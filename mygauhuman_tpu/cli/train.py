@@ -254,9 +254,13 @@ def main(argv=None) -> dict:
             # the sharded path always runs the Pallas kernel — interpret it
             # on CPU (virtual-mesh validation runs)
             raster_cfg = raster_cfg._replace(pallas_interpret=True)
+        from mygauhuman_tpu.train.trainer import scene_lpips_crop
+
         base_step = make_tile_sharded_train_step(
             smpl_model, tx, cfg, raster_cfg, bg=bg, mesh=mesh,
             exchange_capacity=args.exchange_capacity, lpips_fn=lpips_obj,
+            lpips_crop=scene_lpips_crop(
+                [np.asarray(b.bound_mask) for b in train_batches]),
         )
 
         def step_fn(ts, batch, deg):

@@ -173,6 +173,7 @@ def make_tile_sharded_train_step(
     data_axis: str = "data",
     exchange_capacity: int = 4096,
     lpips_fn=None,
+    lpips_crop: int | None = None,
 ):
     """Returns step(ts, batch, active_sh_degree) where every per-Gaussian
     leaf of `ts` is sharded over raster_axes and every batch leaf over
@@ -191,7 +192,9 @@ def make_tile_sharded_train_step(
         make_strip_raster_fn,
         mesh_shard_count,
     )
-    from mygauhuman_tpu.train.trainer import compute_losses_a
+    from mygauhuman_tpu.train.trainer import LPIPS_CROP, compute_losses_a
+
+    lpips_crop = LPIPS_CROP if lpips_crop is None else int(lpips_crop)
 
     from mygauhuman_tpu.eval.lpips import lpips_distance
 
@@ -255,7 +258,8 @@ def make_tile_sharded_train_step(
             )
             s_cnt = jax.lax.psum(jnp.sum(alive_f) * 3, raster_axes)
             scaling_mean = s_sum / jnp.maximum(s_cnt, 1.0)
-            total, metrics = compute_losses_a(out, view, scaling_mean, lfn)
+            total, metrics = compute_losses_a(out, view, scaling_mean,
+                                              lfn, lpips_crop)
             return total, metrics, out.radii
 
         def loss_fn(params, m2d_offs):
