@@ -234,8 +234,13 @@ def main(argv=None) -> dict:
         fps_device = n_frames / best
 
     metrics = evaluate_images(renders, gts)
-    metrics["fps"] = fps_device
+    # "fps" keeps its original wall-clock meaning (stable schema for
+    # cross-round consumers, ADVICE r4); the jitted device-throughput
+    # sweep is a NEW key. "fps_wall" is kept as an alias of "fps" for
+    # round-4 consumers of that name.
+    metrics["fps"] = fps_wall
     metrics["fps_wall"] = fps_wall
+    metrics["fps_device"] = fps_device
     with open(os.path.join(out_dir, "results.json"), "w") as f:
         json.dump(metrics, f, indent=2)
     lkey = "lpips" if "lpips" in metrics else "lpips_rand"

@@ -75,12 +75,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "(data, gauss, tiles) hybrid mesh spanning all "
                         "attached devices")
     p.add_argument("--bake_cells", type=int, default=128,
-                   help="occlusion-bake voxel budget (PBR phase): occupied "
-                        "10^3-grid cells baked per camera; Gaussians beyond "
-                        "it get full visibility and are counted in "
-                        "bake_out_of_budget. The default is sized for the "
-                        "~7k-Gaussian init; raise (e.g. 512) for densified "
-                        "scenes to trade bake time for AO coverage")
+                   help="occlusion-bake per-SWEEP voxel window (PBR phase): "
+                        "all occupied 10^3-grid cells are baked by default "
+                        "(reference parity) in windows of this size; only "
+                        "sizes the per-dispatch work, not coverage")
+    p.add_argument("--bake_single_sweep", action="store_true",
+                   help="restore the round-4 single-sweep bake: only the "
+                        "first --bake_cells occupied cells are baked; "
+                        "Gaussians beyond get full visibility, counted in "
+                        "bake_out_of_budget")
+    p.add_argument("--occ_budget_mb", type=float, default=1024.0,
+                   help="device-memory budget for the chunked PBR loop's "
+                        "baked-occlusion slot buffer (uint8 maps); chunks "
+                        "needing more distinct cameras are split")
     p.add_argument("--exchange_capacity", type=int, default=16384,
                    help="per-(shard, strip) instance window of the "
                         "multichip all_to_all exchange")
@@ -481,16 +488,34 @@ def main(argv=None) -> dict:
         )
 
         pbr_state, light_tx = create_pbr_state(cfg)
-        pbr_step = make_pbr_train_step(
-            smpl_model, tx, light_tx, cfg, raster_cfg, bg=bg,
-            lpips_fn=lpips_obj,
-        )
+        if args.multichip and len(jax.devices()) > 1:
+            # phase B under the SAME mesh as phase A (sharded G-buffer
+            # raster + replicated light, parallel/train.py). The bake
+            # stays a replicated per-camera program inside train_loop_pbr.
+            from mygauhuman_tpu.parallel.train import (
+                make_tile_sharded_pbr_step,
+            )
+
+            base_pbr = make_tile_sharded_pbr_step(
+                smpl_model, tx, light_tx, cfg, raster_cfg, bg=bg,
+                mesh=mesh, exchange_capacity=args.exchange_capacity,
+                lpips_fn=lpips_obj,
+            )
+
+            def pbr_step(ts2, pbr2, batch, knn3, occ_col, pw, deg):
+                return base_pbr(ts2, pbr2, stack_batches([batch]), knn3,
+                                occ_col[None], pw, deg)
+        else:
+            pbr_step = make_pbr_train_step(
+                smpl_model, tx, light_tx, cfg, raster_cfg, bg=bg,
+                lpips_fn=lpips_obj,
+            )
 
         def pbr_callback(it, ts2, pbr2, m):
             nonlocal last_psnr
-            # chunked mode already fires once per chunk; unchunked (GUI)
-            # mode logs on the phase-A cadence
-            if scan_chunk > 1 or it % 100 == 0:
+            # the loop replays per-iteration metrics in chunked mode too;
+            # log on the phase-A cadence
+            if it % 100 == 0 or it == 1:
                 logger.log(it, m, prefix="pbr")
             if it in args.test_iterations:
                 last_psnr = run_eval(it, ts2)
@@ -513,6 +538,8 @@ def main(argv=None) -> dict:
             max_sh_degree=args.sh_degree, seed=args.seed,
             callback=pbr_callback,
             bake_max_cells=args.bake_cells,
+            bake_full_coverage=not args.bake_single_sweep,
+            occ_budget_mb=args.occ_budget_mb,
             scan_chunk=scan_chunk,
             callback_iters=tuple(sorted(set(args.test_iterations)
                                         | set(args.save_iterations))),

@@ -3,4 +3,7 @@ from mygauhuman_tpu.occlusion.volumes import (  # noqa: F401
     recon_occlusion,
     sh_components,
 )
-from mygauhuman_tpu.occlusion.baking import bake_occlusion  # noqa: F401
+from mygauhuman_tpu.occlusion.baking import (  # noqa: F401
+    bake_occlusion,
+    bake_occlusion_full,
+)

@@ -12,6 +12,13 @@ occupied cells with boolean tensor cropping; here a fixed `max_cells` budget
 of cells is processed under `lax.map` (occupied cells ranked first), and the
 "all other Gaussians" crop is the rasterizer's alive-mask with the cell's
 members cleared — no dynamic shapes anywhere.
+
+Full coverage (reference parity — `baking.py:145-202` bakes EVERY occupied
+cell): the cell window's start is a *traced* offset into the ranked cell
+order, so `bake_occlusion_full` sweeps all occupied cells with repeated
+calls of ONE jitted program (`ceil(n_occupied / sweep_cells)` dispatches,
+one tiny host sync for the occupied-cell count). `bake_occlusion` remains
+the single-sweep form with a counted out-of-budget remainder.
 """
 from __future__ import annotations
 
@@ -80,39 +87,57 @@ def _face_camera_axes(face: int):
     return right, down, fwd
 
 
+@functools.partial(jax.jit, static_argnames=("grid_res",))
+def count_occupied(
+    points: jnp.ndarray, alive: jnp.ndarray, grid_res: int = 10
+) -> jnp.ndarray:
+    """Number of occupied voxels — drives the sweep count in
+    `bake_occlusion_full` (the reference's per-nonempty-cell loop bound,
+    baking.py:145)."""
+    return jnp.sum(pc_to_grid(points, alive, grid_res).occupied)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "grid_res", "max_cells", "face_res",
                      "config"),
 )
-def bake_occlusion(
+def _bake_sweep(
     means3d: jnp.ndarray,     # [cap, 3] posed world positions
     cov3d6: jnp.ndarray,      # [cap, 6] world covariances
     opacities: jnp.ndarray,   # [cap]
-    world_normals: jnp.ndarray,  # [cap, 3] unit
     alive: jnp.ndarray,       # [cap] bool
+    vis_carry: jnp.ndarray,   # [cap, H, W, 1] raw visibility accumulator
+    offset,                   # traced int32: start into the ranked cell order
     *,
-    height: int = 16,
-    width: int = 32,
-    grid_res: int = 10,
-    max_cells: int = 128,
-    face_res: int = 32,
-    config: RasterizerConfig = RasterizerConfig(
-        tile_capacity=256, chunk_tiles=4, max_tiles_per_gaussian=4
-    ),
+    height: int,
+    width: int,
+    grid_res: int,
+    max_cells: int,
+    face_res: int,
+    config: RasterizerConfig,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-Gaussian [cap, H, W, 1] visibility (1 - occluder opacity), masked
-    by the normal hemisphere, plus an `out_of_budget` count: alive Gaussians
-    whose voxel fell beyond the max_cells budget and therefore got full
-    visibility 1.0 (counted, never silent — callers log it). Run under
-    stop_gradient by callers (the reference bakes under no_grad,
-    baking.py:230)."""
+    """Bake the cells ranked [offset, offset+max_cells) and merge their
+    visibility maps into `vis_carry` (un-masked: hemisphere/alive masking is
+    applied once by `_finalize`). Returns (vis, n_uncovered) where
+    n_uncovered counts alive Gaussians whose cell ranks past the window end
+    — zero once the sweeps have covered every occupied cell. The offset is
+    traced, so every sweep reuses one compiled program."""
     cap = means3d.shape[0]
     grid = pc_to_grid(means3d, alive, grid_res)
+    res3 = grid_res ** 3
 
-    # rank occupied cells first; process a static max_cells budget
+    # rank occupied cells first; bake a static max_cells window of the order
     order = jnp.argsort(~grid.occupied)           # occupied first, stable
-    cells = order[:max_cells]                     # [max_cells]
+    rank = jnp.zeros((res3,), jnp.int32).at[order].set(
+        jnp.arange(res3, dtype=jnp.int32)
+    )
+    # dynamic_slice clamps the start; use the clamped value for membership
+    off = jnp.minimum(
+        jnp.asarray(offset, jnp.int32), jnp.int32(res3 - max_cells)
+    )
+    off = jnp.maximum(off, 0)
+    cells = jax.lax.dynamic_slice(order, (off,), (max_cells,))
     cell_live = grid.occupied[cells]
 
     env_dirs = latlong_dirs(height, width)        # [H, W, 3]
@@ -163,25 +188,118 @@ def bake_occlusion(
         return cubemap[face, yi, xi]              # [H, W, 1]
 
     opacity_envs = jax.lax.map(render_cell, cells)      # [max_cells, H, W, 1]
-    visibility = jnp.where(cell_live[:, None, None, None],
-                           1.0 - opacity_envs, 0.0)
 
-    # scatter back: every gaussian inherits its cell's map
-    cell_rank = jnp.full((grid_res**3,), max_cells, jnp.int32)
-    cell_rank = cell_rank.at[cells].set(jnp.arange(max_cells, dtype=jnp.int32))
-    gauss_rank = cell_rank[grid.cell_of_point]          # [cap]
-    in_budget = gauss_rank < max_cells
-    vis = jnp.where(
-        in_budget[:, None, None, None],
-        visibility[jnp.clip(gauss_rank, 0, max_cells - 1)],
-        1.0,
+    # scatter back: every gaussian in a window cell inherits its cell's map
+    g_rank = rank[grid.cell_of_point]                   # [cap]
+    local = jnp.clip(g_rank - off, 0, max_cells - 1)
+    in_window = (
+        (g_rank >= off) & (g_rank < off + max_cells) & cell_live[local]
     )
-    out_of_budget = jnp.sum(alive & ~in_budget).astype(jnp.int32)
+    vis = jnp.where(
+        in_window[:, None, None, None],
+        1.0 - opacity_envs[local],
+        vis_carry,
+    )
+    # alive Gaussians always map to occupied (i.e. low-ranked) cells, so
+    # anything ranking past the window end is still uncovered
+    n_uncovered = jnp.sum(alive & (g_rank >= off + max_cells)).astype(
+        jnp.int32
+    )
+    return vis, n_uncovered
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width"))
+def _finalize(
+    vis: jnp.ndarray,            # [cap, H, W, 1] raw visibility
+    world_normals: jnp.ndarray,  # [cap, 3] unit
+    alive: jnp.ndarray,          # [cap] bool
+    height: int,
+    width: int,
+) -> jnp.ndarray:
+    """Normal-hemisphere mask (dot_map, reference baking.py:232,307) and
+    alive mask, applied once after all sweeps."""
+    env_dirs = latlong_dirs(height, width)
     dot_mask = (
         jnp.einsum("hwc,nc->nhw", env_dirs, world_normals)[..., None] > 0
     )
-    vis = jnp.where(dot_mask, vis, 0.0) * alive[:, None, None, None]
-    return vis, out_of_budget
+    return jnp.where(dot_mask, vis, 0.0) * alive[:, None, None, None]
+
+
+_DEFAULT_BAKE_CONFIG = RasterizerConfig(
+    tile_capacity=256, chunk_tiles=4, max_tiles_per_gaussian=4
+)
+
+
+def bake_occlusion(
+    means3d: jnp.ndarray,     # [cap, 3] posed world positions
+    cov3d6: jnp.ndarray,      # [cap, 6] world covariances
+    opacities: jnp.ndarray,   # [cap]
+    world_normals: jnp.ndarray,  # [cap, 3] unit
+    alive: jnp.ndarray,       # [cap] bool
+    *,
+    height: int = 16,
+    width: int = 32,
+    grid_res: int = 10,
+    max_cells: int = 128,
+    face_res: int = 32,
+    config: RasterizerConfig = _DEFAULT_BAKE_CONFIG,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-sweep bake: per-Gaussian [cap, H, W, 1] visibility
+    (1 - occluder opacity), masked by the normal hemisphere, plus an
+    `out_of_budget` count: alive Gaussians whose voxel fell beyond the
+    max_cells budget and therefore got full visibility 1.0 (counted, never
+    silent — callers log it). For reference-parity full coverage use
+    `bake_occlusion_full`. Run under stop_gradient by callers (the
+    reference bakes under no_grad, baking.py:230)."""
+    max_cells = min(max_cells, grid_res ** 3)
+    cap = means3d.shape[0]
+    vis0 = jnp.ones((cap, height, width, 1), jnp.float32)
+    vis, oob = _bake_sweep(
+        means3d, cov3d6, opacities, alive, vis0, jnp.int32(0),
+        height=height, width=width, grid_res=grid_res, max_cells=max_cells,
+        face_res=face_res, config=config,
+    )
+    return _finalize(vis, world_normals, alive, height, width), oob
+
+
+def bake_occlusion_full(
+    means3d: jnp.ndarray,
+    cov3d6: jnp.ndarray,
+    opacities: jnp.ndarray,
+    world_normals: jnp.ndarray,
+    alive: jnp.ndarray,
+    *,
+    height: int = 16,
+    width: int = 32,
+    grid_res: int = 10,
+    sweep_cells: int = 128,
+    face_res: int = 32,
+    config: RasterizerConfig = _DEFAULT_BAKE_CONFIG,
+) -> tuple[jnp.ndarray, jnp.ndarray, int]:
+    """Full-coverage bake (reference parity: every occupied voxel gets an
+    opacity cubemap, baking.py:145-202): sweeps the ranked cell order in
+    `sweep_cells`-sized windows until all occupied cells are baked. All
+    sweeps share ONE jitted program (the window offset is traced); the only
+    host sync is the occupied-cell count. Returns (vis, out_of_budget,
+    n_sweeps) — out_of_budget is 0 by construction."""
+    sweep_cells = min(sweep_cells, grid_res ** 3)
+    n_occ = int(count_occupied(means3d, alive, grid_res))
+    cap = means3d.shape[0]
+    vis = jnp.ones((cap, height, width, 1), jnp.float32)
+    oob = jnp.zeros((), jnp.int32)
+    n_sweeps = max(1, -(-n_occ // sweep_cells))
+    for s in range(n_sweeps):
+        vis, oob = _bake_sweep(
+            means3d, cov3d6, opacities, alive, vis,
+            jnp.int32(s * sweep_cells),
+            height=height, width=width, grid_res=grid_res,
+            max_cells=sweep_cells, face_res=face_res, config=config,
+        )
+    return (
+        _finalize(vis, world_normals, alive, height, width),
+        oob,
+        n_sweeps,
+    )
 
 
 def occlusion_color(

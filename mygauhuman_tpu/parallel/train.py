@@ -162,6 +162,34 @@ def stack_batches(batches: list[TrainBatch]) -> TrainBatch:
 # ----------------------------------------------------------------------------
 
 
+def _ts_specs(ts: TrainState, spec_g, repl):
+    """PartitionSpecs for a TrainState: per-Gaussian (capacity-leading)
+    leaves shard over the raster axes, everything else replicates.
+    Path-matched: MLP layers of width == capacity must NOT be sharded over
+    the raster axes (the body would silently use a local slice of a
+    replicated-semantics matrix)."""
+    from mygauhuman_tpu.train.optim import is_gaussian_path
+
+    cap = ts.gauss.capacity
+
+    def spec(path, leaf):
+        if (hasattr(leaf, "shape") and leaf.ndim >= 1
+                and leaf.shape[0] == cap and is_gaussian_path(path)):
+            return spec_g
+        return repl
+
+    return jax.tree_util.tree_map_with_path(spec, ts)
+
+
+def _batch_specs(batch: TrainBatch, spec_d, repl):
+    def spec(leaf):
+        if hasattr(leaf, "shape") and leaf.ndim >= 1:
+            return spec_d
+        return repl
+
+    return jax.tree_util.tree_map(spec, batch)
+
+
 def make_tile_sharded_train_step(
     smpl_model: SMPLModel,
     tx: optax.GradientTransformation,
@@ -349,28 +377,10 @@ def make_tile_sharded_train_step(
     repl = P()
 
     def ts_specs(ts: TrainState):
-        from mygauhuman_tpu.train.optim import is_gaussian_path
-
-        cap = ts.gauss.capacity
-
-        def spec(path, leaf):
-            # path-matched: MLP layers of width == capacity must NOT be
-            # sharded over the raster axes (the body would silently use a
-            # local slice of a replicated-semantics matrix)
-            if (hasattr(leaf, "shape") and leaf.ndim >= 1
-                    and leaf.shape[0] == cap and is_gaussian_path(path)):
-                return spec_g
-            return repl
-
-        return jax.tree_util.tree_map_with_path(spec, ts)
+        return _ts_specs(ts, spec_g, repl)
 
     def batch_specs(batch: TrainBatch):
-        def spec(leaf):
-            if hasattr(leaf, "shape") and leaf.ndim >= 1:
-                return spec_d
-            return repl
-
-        return jax.tree_util.tree_map(spec, batch)
+        return _batch_specs(batch, spec_d, repl)
 
     @functools.partial(jax.jit, static_argnums=(3,))
     def _step(ts: TrainState, batch: TrainBatch, consts,
@@ -388,5 +398,240 @@ def make_tile_sharded_train_step(
 
     def step(ts: TrainState, batch: TrainBatch, active_sh_degree: int):
         return _step(ts, batch, consts, int(active_sh_degree))
+
+    return step
+
+
+# ----------------------------------------------------------------------------
+# Tile-sharded PBR (branch-B) step — phase B under the same mesh as phase A.
+#
+# The reference has no analogue (single GPU); the TPU build defines the
+# behavior explicitly (VERDICT r4 missing #2): the G-buffer render runs the
+# strip-sharded rasterizer (per-Gaussian material params sharded over the
+# raster axes), the split-sum shading + image losses are computed replicated
+# per shard (the all_gather of the strips already put the full image on every
+# shard — same 1/n_shards loss pre-scaling as phase A), the cubemap light +
+# irradiance volumes are REPLICATED params whose grads psum over every axis
+# (the same pattern as the MLPs in make_tile_sharded_train_step), and the
+# global-KNN material smoothness term all_gathers the local albedo/roughness
+# shards (tiny: cap x 4 floats). The occlusion BAKE stays a replicated
+# host-driven program (train/pbr.py train_loop_pbr): it runs once per camera
+# off the step's critical path, on the jit-of-sharded-arrays path.
+# ----------------------------------------------------------------------------
+
+
+def make_tile_sharded_pbr_step(
+    smpl_model: SMPLModel,
+    tx: optax.GradientTransformation,
+    light_tx: optax.GradientTransformation,
+    cfg: OptimizationConfig,
+    raster_config: RasterizerConfig,
+    bg: jnp.ndarray,
+    mesh,
+    raster_axes: tuple = ("gauss", "tiles"),
+    data_axis: str = "data",
+    exchange_capacity: int = 4096,
+    lpips_fn=None,
+):
+    """Returns step(ts, pbr_state, batch, knn3, occ_col, prefilter_w,
+    active_sh_degree) — the sharded mirror of train/pbr.py's
+    make_pbr_train_step: `ts` per-Gaussian leaves shard over raster_axes,
+    `batch` + `occ_col` ([B, cap, 3]) lead with a data-sharded batch axis,
+    `pbr_state`/`knn3`/`prefilter_w` replicate."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from mygauhuman_tpu.eval.lpips import lpips_distance
+    from mygauhuman_tpu.parallel.raster import (
+        make_strip_raster_fn,
+        mesh_shard_count,
+    )
+    from mygauhuman_tpu.train.pbr import (
+        PbrState,
+        canonical_view_dirs,
+        compute_losses_pbr,
+    )
+    from mygauhuman_tpu.pbr.shade import get_brdf_lut
+
+    n_shards = mesh_shard_count(mesh, raster_axes)
+    all_axes = (data_axis,) + tuple(raster_axes)
+    raster_fn = make_strip_raster_fn(raster_axes, n_shards,
+                                     exchange_capacity)
+    consts = {
+        "smpl": {
+            "v_template": smpl_model.v_template,
+            "shapedirs": smpl_model.shapedirs,
+            "posedirs": smpl_model.posedirs,
+            "j_regressor": smpl_model.j_regressor,
+            "weights": smpl_model.weights,
+        },
+        "brdf_lut": get_brdf_lut(),
+        "lpips": getattr(lpips_fn, "params", None),
+    }
+
+    def body(ts: TrainState, pbr_state: PbrState, batch: TrainBatch,
+             knn3, occ_col, prefilter_w, consts, active_sh_degree: int):
+        smpl = smpl_model._replace(**consts["smpl"])
+        brdf_lut = consts["brdf_lut"]
+        if consts["lpips"] is not None:
+            lp = consts["lpips"]
+            lfn = lambda a, b: lpips_distance(lp, a, b)  # noqa: E731
+        else:
+            lfn = lpips_fn
+        B_local = batch.gt_image.shape[0]
+        gauss_aux = {
+            "alive": ts.gauss.alive,
+            "smpl_normal": ts.gauss.smpl_normal,
+            "xyz_grad_accum": ts.gauss.xyz_grad_accum,
+            "denom": ts.gauss.denom,
+            "max_radii2d": ts.gauss.max_radii2d,
+        }
+
+        def one_view(params, light_vol, view, occ_one):
+            gstate = G.GaussianState(
+                params=params.gaussians,
+                alive=gauss_aux["alive"],
+                smpl_normal=gauss_aux["smpl_normal"],
+                xyz_grad_accum=gauss_aux["xyz_grad_accum"],
+                denom=gauss_aux["denom"],
+                max_radii2d=gauss_aux["max_radii2d"],
+            )
+            out = render_frame(
+                gstate, view.camera, view.frame, smpl,
+                bg=bg, active_sh_degree=active_sh_degree,
+                mlp_params={"pose_refiner": params.pose_refiner,
+                            "lbs_offset": params.lbs_offset},
+                config=raster_config, occlusion_color=occ_one,
+                raster_fn=raster_fn,
+            )
+            # the KNN smoothness term needs GLOBAL-capacity materials
+            # (knn3 holds global ids): all_gather the local shards in the
+            # P(raster_axes) partition order
+            albedo_g = jax.lax.all_gather(
+                G.get_albedo(params.gaussians), raster_axes,
+                axis=0, tiled=True)
+            rough_g = jax.lax.all_gather(
+                G.get_roughness(params.gaussians), raster_axes,
+                axis=0, tiled=True)
+            alive_g = jax.lax.all_gather(
+                gauss_aux["alive"].astype(jnp.float32), raster_axes,
+                axis=0, tiled=True)
+            view_dirs = canonical_view_dirs(view.camera)
+            total, metrics = compute_losses_pbr(
+                out, view, light_vol["light"], albedo_g, rough_g, alive_g,
+                knn3, view_dirs, brdf_lut, lfn, prefilter_w,
+            )
+            return total, metrics
+
+        def loss_fn(params, light_vol):
+            totals, metrics = [], None
+            for i in range(B_local):       # static local-view loop
+                view = jax.tree_util.tree_map(lambda x: x[i], batch)
+                t, m = one_view(params, light_vol, view, occ_col[i])
+                totals.append(t)
+                metrics = m
+            local_mean = jnp.mean(jnp.asarray(totals))
+            loss = jax.lax.pmean(local_mean, data_axis)
+            # each raster shard carries its own replicated copy of the loss
+            # through the all_gather; AD sums the copies — pre-scale.
+            return loss / n_shards, (metrics, loss)
+
+        params = trainable_params(ts)
+        light_vol = {
+            "light": pbr_state.light,
+            "volumes": pbr_state.volumes.coefficients,
+        }
+        (_, (metrics, loss)), (gparams, glight) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, light_vol)
+
+        # sharded gaussian grads: each shard owns its slice; sum view
+        # contributions over the data axis. Geometry + MLPs are frozen in
+        # phase B (update_learning_rate parity, gaussian_model.py:289-307)
+        # so their grads are zeroed rather than psum'd.
+        g = jax.tree_util.tree_map(
+            lambda x: jax.lax.psum(x, data_axis), gparams.gaussians
+        )
+        gparams = TrainableParams(
+            gaussians=g._replace(
+                xyz=jnp.zeros_like(g.xyz),
+                features_dc=jnp.zeros_like(g.features_dc),
+                features_rest=jnp.zeros_like(g.features_rest),
+                scaling=jnp.zeros_like(g.scaling),
+                rotation=jnp.zeros_like(g.rotation),
+                opacity=jnp.zeros_like(g.opacity),
+            ),
+            pose_refiner=jax.tree_util.tree_map(
+                jnp.zeros_like, gparams.pose_refiner),
+            lbs_offset=jax.tree_util.tree_map(
+                jnp.zeros_like, gparams.lbs_offset),
+        )
+        # replicated light/volume grads: sum the per-shard copies
+        glight = jax.tree_util.tree_map(
+            lambda x: jax.lax.psum(x, all_axes), glight
+        )
+
+        updates, opt_state = tx.update(gparams, ts.opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+
+        lupdates, lopt_state = light_tx.update(
+            glight, pbr_state.opt_state, light_vol
+        )
+        new_light_vol = optax.apply_updates(light_vol, lupdates)
+        # clamp_ parity (train.py:423): light stays non-negative
+        new_light = {"base": jnp.maximum(new_light_vol["light"]["base"], 0.0)}
+
+        new_ts = TrainState(
+            gauss=ts.gauss._replace(params=new_params.gaussians),
+            pose_refiner=new_params.pose_refiner,
+            lbs_offset=new_params.lbs_offset,
+            opt_state=opt_state,
+            step=ts.step + 1,
+        )
+        new_pbr = PbrState(
+            light=new_light,
+            volumes=pbr_state.volumes._replace(
+                coefficients=new_light_vol["volumes"]
+            ),
+            opt_state=lopt_state,
+        )
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        metrics = jax.tree_util.tree_map(
+            lambda m: jax.lax.pmean(jnp.asarray(m, jnp.float32), data_axis),
+            metrics,
+        )
+        return new_ts, new_pbr, metrics
+
+    spec_g = P(raster_axes)
+    spec_d = P(data_axis)
+    spec_do = P(data_axis, raster_axes)     # occ_col [B, cap, 3]
+    repl = P()
+
+    @functools.partial(jax.jit, static_argnums=(7,))
+    def _step(ts, pbr_state, batch, knn3, occ_col, prefilter_w, consts,
+              active_sh_degree: int):
+        tspec = _ts_specs(ts, spec_g, repl)
+        pspec = jax.tree_util.tree_map(lambda _: repl, pbr_state)
+        cspec = jax.tree_util.tree_map(lambda _: repl, consts)
+        wspec = jax.tree_util.tree_map(lambda _: repl, prefilter_w)
+        sharded = shard_map(
+            lambda t, p, b, k, o, w, c: body(
+                t, p, b, k, o, w, c, active_sh_degree),
+            mesh=mesh,
+            in_specs=(tspec, pspec, _batch_specs(batch, spec_d, repl),
+                      repl, spec_do, wspec, cspec),
+            out_specs=(tspec, pspec, repl),
+            check_vma=False,
+        )
+        return sharded(ts, pbr_state, batch, knn3, occ_col, prefilter_w,
+                       consts)
+
+    def step(ts, pbr_state, batch, knn3, occ_col, prefilter_w,
+             active_sh_degree: int):
+        return _step(ts, pbr_state, batch, knn3, occ_col, prefilter_w,
+                     consts, int(active_sh_degree))
 
     return step

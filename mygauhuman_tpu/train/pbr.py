@@ -93,15 +93,20 @@ def compute_losses_pbr(
     out,
     batch: TrainBatch,
     light_params: dict,
-    gauss_params: G.GaussianParams,
-    alive: jnp.ndarray,
+    albedo_pts: jnp.ndarray,   # [cap, 3] activated albedo (GLOBAL capacity)
+    rough_pts: jnp.ndarray,    # [cap, 1] activated roughness (GLOBAL)
+    alive_f: jnp.ndarray,      # [cap] float alive mask (GLOBAL)
     knn3: jnp.ndarray,
     view_dirs: jnp.ndarray,
     brdf_lut: jnp.ndarray,
     lpips_fn: Callable | None = None,
     prefilter_w: dict | None = None,
 ):
-    """Branch-B total loss. Weights parity: train.py:316-363."""
+    """Branch-B total loss. Weights parity: train.py:316-363.
+
+    The per-point material arrays are taken pre-activated at GLOBAL
+    capacity because `knn3` holds global neighbor ids — the tile-sharded
+    step all_gathers its local material shards before calling this."""
     light = build_mips(light_params, prefilter_w)
     alpha = out.render_alpha[..., None]
     world_normal = jax.lax.stop_gradient(out.world_normal * 2.0 - 1.0)
@@ -133,9 +138,6 @@ def compute_losses_pbr(
         roughness_img
     )
 
-    albedo_pts = G.get_albedo(gauss_params)
-    rough_pts = G.get_roughness(gauss_params)
-    alive_f = alive.astype(jnp.float32)
     smooth = L.relative_smooth_loss(
         albedo_pts[knn3[:, 1]], albedo_pts[knn3[:, 2]][:, None, :], alive_f
     ) + L.relative_smooth_loss(
@@ -243,8 +245,11 @@ def make_pbr_train_step(
                 config=raster_config, occlusion_color=occlusion_color,
             )
             total, metrics = compute_losses_pbr(
-                out, batch, light_vol["light"], params.gaussians,
-                ts.gauss.alive, knn3, view_dirs, brdf_lut, lfn,
+                out, batch, light_vol["light"],
+                G.get_albedo(params.gaussians),
+                G.get_roughness(params.gaussians),
+                ts.gauss.alive.astype(jnp.float32),
+                knn3, view_dirs, brdf_lut, lfn,
                 prefilter_w,
             )
             return total, metrics
@@ -312,23 +317,29 @@ def make_pbr_train_step(
     from mygauhuman_tpu.occlusion.baking import occlusion_color as occ_color
     from mygauhuman_tpu.pbr.light import export_envmap as _export_env
 
-    @functools.partial(jax.jit, static_argnums=(9,))
-    def _chunk(ts, pbr_state, views, occ_stack, knn3, prefilter_w, consts,
-               idx, n, active_sh_degree):
+    @functools.partial(jax.jit, static_argnums=(10,))
+    def _chunk(ts, pbr_state, views, occ_buf, knn3, prefilter_w, consts,
+               idx, bidx, n, active_sh_degree):
         """Up to len(idx) PBR iterations in ONE dispatch (mirrors the phase-A
         chunk program, trainer.py): dynamic-trip fori_loop, traced trip
         count `n` so every chunk length shares one executable. Each trip
-        gathers its view + its camera's baked [cap, H, W, 1] occlusion map
-        on device and re-derives the occlusion modulation color from the
-        trip's CURRENT light (train.py:196-198 does this eagerly per step)."""
-        bh, bw = occ_stack.shape[2], occ_stack.shape[3]
+        gathers its view + its camera's baked occlusion map (slot bidx[t]
+        of the bounded uint8 buffer — NOT a per-view stack, which scaled as
+        V x cap x bake pixels, ADVICE r4 medium) on device and re-derives
+        the occlusion modulation color from the trip's CURRENT light
+        (train.py:196-198 does this eagerly per step)."""
+        bh, bw = occ_buf.shape[2], occ_buf.shape[3]
+
+        def dq(u8):
+            return u8.astype(jnp.float32) * (1.0 / 255.0)
+
         mshape = jax.eval_shape(
             lambda ts, pbr, b, occ: _step_impl(
                 ts, pbr, b, knn3,
                 occ_color(occ, jnp.zeros((bh, bw, 1))),
                 prefilter_w, consts, active_sh_degree)[2],
             ts, pbr_state,
-            jax.tree_util.tree_map(lambda x: x[0], views), occ_stack[0])
+            jax.tree_util.tree_map(lambda x: x[0], views), dq(occ_buf[0]))
         mbuf = jax.tree_util.tree_map(
             lambda s: jnp.zeros((idx.shape[0],) + s.shape, s.dtype), mshape)
 
@@ -337,7 +348,7 @@ def make_pbr_train_step(
             batch = jax.tree_util.tree_map(lambda x: x[idx[t]], views)
             env = _export_env(pbr.light, bh, bw)
             env_gray = jnp.mean(env, axis=-1, keepdims=True)
-            occ_col = occ_color(occ_stack[idx[t]], env_gray)
+            occ_col = occ_color(dq(occ_buf[bidx[t]]), env_gray)
             ts, pbr, m = _step_impl(
                 ts, pbr, batch, knn3, occ_col, prefilter_w, consts,
                 active_sh_degree)
@@ -347,14 +358,16 @@ def make_pbr_train_step(
 
         return jax.lax.fori_loop(0, n, body, (ts, pbr_state, mbuf))
 
-    def chunk(ts, pbr_state, views, occ_stack, knn3, prefilter_w, idx,
+    def chunk(ts, pbr_state, views, occ_buf, knn3, prefilter_w, idx, bidx,
               active_sh_degree: int, pad_to: int = 0):
         n = len(idx)
         pad_to = max(pad_to, n)
         idx = list(idx) + [0] * (pad_to - n)
+        bidx = list(bidx) + [0] * (pad_to - n)
         ts, pbr_state, mseq = _chunk(
-            ts, pbr_state, views, occ_stack, knn3, prefilter_w, consts,
-            jnp.asarray(idx, jnp.int32), jnp.int32(n), int(active_sh_degree))
+            ts, pbr_state, views, occ_buf, knn3, prefilter_w, consts,
+            jnp.asarray(idx, jnp.int32), jnp.asarray(bidx, jnp.int32),
+            jnp.int32(n), int(active_sh_degree))
         return ts, pbr_state, (mseq, n)
 
     step.chunk = chunk
@@ -376,28 +389,50 @@ def train_loop_pbr(
     bake_height: int = 16,
     bake_width: int = 32,
     bake_max_cells: int = 128,
+    bake_full_coverage: bool = True,
     callback=None,
     scan_chunk: int = 1,
     callback_iters: tuple = (),
+    occ_budget_mb: float = 1024.0,
 ):
     """PBR-phase loop (train.py iter > pbr_iteration): per-camera occlusion
     maps are baked once on first visit (view.set_occlusion parity,
     gaussian_renderer/__init__.py:152-160) and modulated by the CURRENT
     grayscale envmap each step (train.py:196-198).
 
+    bake_full_coverage (default) sweeps EVERY occupied voxel in
+    `bake_max_cells`-sized windows (reference parity, baking.py:145-202) —
+    bake_out_of_budget stays 0; False restores the single-sweep budget.
+
+    Baked maps are cached per camera as uint8 (quantization step 1/255 —
+    below the rasterizer's own 1/255 alpha cutoff), 4x smaller than f32 and
+    allocated ONLY for visited cameras (ADVICE r4 medium: the old code
+    preallocated a [V, cap, H, W, 1] f32 stack for every view up front).
+
     scan_chunk > 1 dispatches up to that many iterations per jitted call via
     `step_fn.chunk` — the envmap export + occlusion modulation move inside
     the jit region (the eager-per-step form was dispatch-bound, PERF.md).
-    Baked occlusion maps live in one device-resident [V, cap, H, W, 1]
-    stack (cap·H·W·4 bytes per camera — at 64k capacity that is 128 MB per
-    view, so full-scale multi-hundred-view scenes should keep scan_chunk
-    modest or rely on the lazy bake visiting few cameras). Chunks never
-    cross an SH-degree change or an iteration in `callback_iters`, so the
-    schedule is identical to scan_chunk=1.
+    The chunk program reads occlusion from a bounded [K, cap, H, W, 1]
+    uint8 slot buffer holding at most K distinct cameras, K sized by
+    `occ_budget_mb`; a chunk whose views would exceed K distinct cameras is
+    split early (the view SEQUENCE is unchanged — only dispatch boundaries
+    move). Chunks never cross an SH-degree change or an iteration in
+    `callback_iters`, so the schedule is identical to scan_chunk=1.
+
+    The callback fires once per iteration in BOTH modes; in chunked mode
+    per-iteration metrics are replayed from the chunk's metric buffer
+    (one host transfer per chunk), while the `ts`/`pbr_state` arguments for
+    mid-chunk iterations are the end-of-chunk states (chunks break at
+    `callback_iters`, so checkpoint/eval iterations always see exact
+    states).
     """
     import numpy as np
 
-    from mygauhuman_tpu.occlusion.baking import bake_occlusion, occlusion_color
+    from mygauhuman_tpu.occlusion.baking import (
+        bake_occlusion,
+        bake_occlusion_full,
+        occlusion_color,
+    )
     from mygauhuman_tpu.pbr.light import export_envmap, prefilter_weight_set
     from mygauhuman_tpu.render import render_frame
     from mygauhuman_tpu.utils.transforms import rot_apply
@@ -411,16 +446,20 @@ def train_loop_pbr(
     stack: list = []
     metrics: dict = {}
     bake_oob_total = 0            # baked-but-out-of-budget Gaussians, summed
-    baked: set = set()
+    occ_cache: dict = {}          # camera index -> uint8 [cap, H, W, 1]
     chunked = scan_chunk > 1 and hasattr(step_fn, "chunk")
     cb_set = set(int(i) for i in callback_iters)
     cap = ts.gauss.capacity
     if chunked:
         views = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
-        occ_stack = jnp.zeros(
-            (len(batches), cap, bake_height, bake_width, 1), jnp.float32)
-    else:
-        occ_cache: dict = {}
+        bytes_per_view = cap * bake_height * bake_width   # uint8
+        k_max = max(1, min(
+            scan_chunk, len(batches),
+            int(occ_budget_mb * 1e6) // max(bytes_per_view, 1),
+        ))
+        occ_buf = jnp.zeros(
+            (k_max, cap, bake_height, bake_width, 1), jnp.uint8)
+        slot_of: dict = {}        # camera index -> buffer slot
 
     _smpl_consts = {
         "v_template": smpl_model.v_template,
@@ -431,7 +470,7 @@ def train_loop_pbr(
     }
 
     @jax.jit
-    def _bake(ts, batch, smpl_c):
+    def _pose_for_bake(ts, batch, smpl_c):
         """Geometry is frozen in phase B, so the LBS transforms (and hence
         the bake) are per-camera constants; SH degree does not affect them."""
         out = render_frame(
@@ -446,28 +485,48 @@ def train_loop_pbr(
             out.transforms, ts.gauss.params.xyz
         ) + out.translation
         world_nrm = rot_apply(out.transforms, ts.gauss.params.normal)
-        return jax.lax.stop_gradient(bake_occlusion(
-            means_posed, cov6,
-            G.get_opacity(ts.gauss.params)[:, 0],
-            world_nrm,
-            ts.gauss.alive,
-            height=bake_height, width=bake_width,
-            max_cells=bake_max_cells,
-        ))
+        return jax.lax.stop_gradient(
+            (means_posed, cov6, G.get_opacity(ts.gauss.params)[:, 0],
+             world_nrm)
+        )
 
     def ensure_baked(bi):
-        """Bake camera bi's per-Gaussian visibility envmaps once; count the
-        out-of-budget truncation (never silent — VERDICT r1 #4 / r3 #7)."""
-        nonlocal bake_oob_total, occ_stack
-        if bi in baked:
+        """Bake camera bi's per-Gaussian visibility envmaps once; count any
+        out-of-budget truncation (never silent — VERDICT r1 #4 / r3 #7;
+        zero by construction under bake_full_coverage)."""
+        nonlocal bake_oob_total
+        if bi in occ_cache:
             return
-        occ, bake_oob = _bake(ts, batches[bi], _smpl_consts)
-        bake_oob_total += int(bake_oob)
-        if chunked:
-            occ_stack = occ_stack.at[bi].set(occ)
+        m, c6, op, wn = _pose_for_bake(ts, batches[bi], _smpl_consts)
+        if bake_full_coverage:
+            occ, bake_oob, _ = bake_occlusion_full(
+                m, c6, op, wn, ts.gauss.alive,
+                height=bake_height, width=bake_width,
+                sweep_cells=bake_max_cells,
+            )
         else:
-            occ_cache[bi] = occ
-        baked.add(bi)
+            occ, bake_oob = bake_occlusion(
+                m, c6, op, wn, ts.gauss.alive,
+                height=bake_height, width=bake_width,
+                max_cells=bake_max_cells,
+            )
+        bake_oob_total += int(bake_oob)
+        occ_cache[bi] = jnp.round(occ * 255.0).astype(jnp.uint8)
+
+    def ensure_in_buffer(bi, keep: set) -> None:
+        """Place camera bi's baked map into a free slot of the bounded
+        buffer, evicting a camera not referenced by the current chunk."""
+        nonlocal occ_buf
+        if bi in slot_of:
+            return
+        ensure_baked(bi)
+        if len(slot_of) < k_max:
+            slot = len(slot_of)
+        else:
+            victim = next(k for k in slot_of if k not in keep)
+            slot = slot_of.pop(victim)
+        occ_buf = occ_buf.at[slot].set(occ_cache[bi])
+        slot_of[bi] = slot
 
     def pick_index():
         nonlocal stack
@@ -483,31 +542,53 @@ def train_loop_pbr(
                 return e
         return end
 
+    def dq(u8):
+        return u8.astype(jnp.float32) * (1.0 / 255.0)
+
+    pending = None    # view picked for a chunk that hit the buffer limit
     it = start_iteration + 1
     while it <= start_iteration + num_iterations:
         deg = min(it // 1000, max_sh_degree)
         if chunked:
             end = chunk_end(it)
-            idx = [pick_index() for _ in range(end - it + 1)]
+            idx: list = []
+            distinct: set = set()
+            for _ in range(it, end + 1):
+                bi = pending if pending is not None else pick_index()
+                pending = None
+                if bi not in distinct and len(distinct) >= k_max:
+                    pending = bi       # next chunk starts with this view
+                    break
+                distinct.add(bi)
+                idx.append(bi)
+            end = it + len(idx) - 1
             for bi in idx:
-                ensure_baked(bi)
+                ensure_in_buffer(bi, distinct)
+            bidx = [slot_of[bi] for bi in idx]
             ts, pbr_state, (mseq, n) = step_fn.chunk(
-                ts, pbr_state, views, occ_stack, knn3, prefilter_w, idx,
-                deg, pad_to=scan_chunk)
-            metrics = jax.tree_util.tree_map(lambda x: x[n - 1], mseq)
+                ts, pbr_state, views, occ_buf, knn3, prefilter_w, idx,
+                bidx, deg, pad_to=scan_chunk)
+            mseq_host = jax.tree_util.tree_map(np.asarray, mseq)
+            for t in range(n):
+                metrics = jax.tree_util.tree_map(
+                    lambda x: x[t], mseq_host)
+                metrics = dict(metrics)
+                metrics["bake_out_of_budget"] = bake_oob_total
+                if callback is not None:
+                    callback(it + t, ts, pbr_state, metrics)
             it = end
         else:
             bi = pick_index()
             ensure_baked(bi)
             env = export_envmap(pbr_state.light, bake_height, bake_width)
             env_gray = jnp.mean(env, axis=-1, keepdims=True)
-            occ_col = occlusion_color(occ_cache[bi], env_gray)
+            occ_col = occlusion_color(dq(occ_cache[bi]), env_gray)
             ts, pbr_state, metrics = step_fn(
                 ts, pbr_state, batches[bi], knn3, occ_col, prefilter_w, deg
             )
-        metrics = dict(metrics)
-        metrics["bake_out_of_budget"] = bake_oob_total
-        if callback is not None:
-            callback(it, ts, pbr_state, metrics)
+            metrics = dict(metrics)
+            metrics["bake_out_of_budget"] = bake_oob_total
+            if callback is not None:
+                callback(it, ts, pbr_state, metrics)
         it += 1
     return ts, pbr_state, metrics

@@ -258,3 +258,159 @@ class TestTileShardedLoop:
             np.asarray(ts_s.gauss.params.xyz), atol=5e-3)
         np.testing.assert_array_equal(
             np.asarray(ts_m.gauss.alive), np.asarray(ts_s.gauss.alive))
+
+
+class TestTileShardedPbr:
+    """Phase B under the mesh (parallel/train.py::make_tile_sharded_pbr_step,
+    VERDICT r4 missing #2): the sharded PBR step must match the
+    single-device step, and the full A->B loop must run on globally-sharded
+    state (replicated bake included)."""
+
+    def _scene(self):
+        from mygauhuman_tpu.ops.rasterize import RasterizerConfig
+
+        rc = RasterizerConfig(tile_capacity=128, max_tiles_per_gaussian=8,
+                              use_pallas=True, pallas_interpret=True)
+        scene = make_synthetic_scene(n_views=2, width=64, height=64,
+                                     n_verts=100, capacity=256,
+                                     raster_config=rc)
+        cfg = OptimizationConfig(pbr_iteration=0)
+        ts, tx = create_train_state(
+            cfg, scene.init_state,
+            init_pose_refiner(jax.random.PRNGKey(0)),
+            init_lbs_offset(jax.random.PRNGKey(1)),
+        )
+        return scene, cfg, ts, tx, rc
+
+    def test_sharded_pbr_step_matches_single_device(self):
+        from jax.sharding import Mesh
+
+        from mygauhuman_tpu.parallel.train import (
+            make_tile_sharded_pbr_step,
+        )
+        from mygauhuman_tpu.pbr.light import prefilter_weight_set
+        from mygauhuman_tpu.train.pbr import (
+            compute_knn3,
+            create_pbr_state,
+            make_pbr_train_step,
+        )
+
+        scene, cfg, ts, tx, rc = self._scene()
+        pbr_state, light_tx = create_pbr_state(cfg, base_res=16)
+        knn3 = compute_knn3(ts.gauss)
+        occ = jnp.full((ts.gauss.capacity, 3), 0.5)
+        pw = jax.tree_util.tree_map(
+            jnp.asarray, prefilter_weight_set(16))
+
+        rc1 = rc._replace(pallas_interpret=False, use_pallas=False)
+        sstep = make_pbr_train_step(scene.smpl_model, tx, light_tx, cfg,
+                                    rc1, bg=jnp.zeros(3))
+        ts1, pbr1, m1 = sstep(ts, pbr_state, scene.batches[0], knn3, occ,
+                              pw, 0)
+
+        mesh = Mesh(
+            np.asarray(jax.devices()[:8]).reshape(1, 2, 4),
+            ("data", "gauss", "tiles"),
+        )
+        mstep = make_tile_sharded_pbr_step(
+            scene.smpl_model, tx, light_tx, cfg, rc, bg=jnp.zeros(3),
+            mesh=mesh, exchange_capacity=1024,
+        )
+        ts2, pbr2, m2 = mstep(ts, pbr_state, stack_batches(
+            [scene.batches[0]]), knn3, occ[None], pw, 0)
+
+        assert abs(float(m1["loss"]) - float(m2["loss"])) \
+            < 2e-3 * max(1.0, abs(float(m1["loss"])))
+        np.testing.assert_allclose(
+            np.asarray(pbr2.light["base"]), np.asarray(pbr1.light["base"]),
+            atol=5e-5)
+        np.testing.assert_allclose(
+            np.asarray(ts2.gauss.params.albedo),
+            np.asarray(ts1.gauss.params.albedo), atol=5e-4)
+        np.testing.assert_allclose(
+            np.asarray(ts2.gauss.params.roughness),
+            np.asarray(ts1.gauss.params.roughness), atol=5e-4)
+        # geometry stays frozen in phase B on both paths
+        np.testing.assert_array_equal(
+            np.asarray(ts2.gauss.params.xyz), np.asarray(ts.gauss.params.xyz))
+
+    def test_a_to_b_loop_on_mesh_matches_single_device(self):
+        """The cli --multichip A->B wiring end-to-end on the 8-device
+        virtual mesh: phase-A tile-sharded steps, then train_loop_pbr with
+        the sharded PBR step (replicated full-coverage bake on sharded
+        state), vs the same schedule single-device."""
+        from jax.sharding import Mesh
+
+        from mygauhuman_tpu.parallel.train import (
+            make_tile_sharded_pbr_step,
+            make_tile_sharded_train_step,
+            stack_batches,
+        )
+        from mygauhuman_tpu.train.pbr import (
+            create_pbr_state,
+            make_pbr_train_step,
+            train_loop_pbr,
+        )
+        from mygauhuman_tpu.train.trainer import make_train_step, train_loop
+
+        scene, _, _, _, rc = self._scene()
+        cfg = OptimizationConfig(
+            iterations=8, pbr_iteration=4,
+            densify_from_iter=2, densify_until_iter=4,
+            densification_interval=2,
+        )
+
+        def run(sharded):
+            init = jax.tree_util.tree_map(jnp.copy, scene.init_state)
+            ts, tx = create_train_state(
+                cfg, init,
+                init_pose_refiner(jax.random.PRNGKey(0)),
+                init_lbs_offset(jax.random.PRNGKey(1)),
+            )
+            pbr_state, light_tx = create_pbr_state(cfg, base_res=16)
+            if sharded:
+                mesh = Mesh(
+                    np.asarray(jax.devices()[:8]).reshape(1, 2, 4),
+                    ("data", "gauss", "tiles"),
+                )
+                base_a = make_tile_sharded_train_step(
+                    scene.smpl_model, tx, cfg, rc, bg=jnp.zeros(3),
+                    mesh=mesh, exchange_capacity=1024)
+                step_a = lambda t, b, d: base_a(t, stack_batches([b]), d)  # noqa: E731
+                base_b = make_tile_sharded_pbr_step(
+                    scene.smpl_model, tx, light_tx, cfg, rc,
+                    bg=jnp.zeros(3), mesh=mesh, exchange_capacity=1024)
+                step_b = lambda t, p, b, k, o, w, d: base_b(  # noqa: E731
+                    t, p, stack_batches([b]), k, o[None], w, d)
+            else:
+                rc1 = rc._replace(pallas_interpret=False, use_pallas=False)
+                step_a = make_train_step(scene.smpl_model, tx, cfg, rc1,
+                                         bg=jnp.zeros(3))
+                step_b = make_pbr_train_step(
+                    scene.smpl_model, tx, light_tx, cfg, rc1,
+                    bg=jnp.zeros(3))
+            ts, _ = train_loop(
+                ts, tx, step_fn=step_a, batches=scene.batches, cfg=cfg,
+                extent=scene.extent, smpl_vertices=scene.big_pose_verts,
+                max_sh_degree=0, seed=11, num_iterations=cfg.pbr_iteration,
+            )
+            ts, pbr_state, m = train_loop_pbr(
+                ts, pbr_state, step_b, scene.batches, scene.smpl_model,
+                cfg, start_iteration=cfg.pbr_iteration,
+                num_iterations=cfg.iterations - cfg.pbr_iteration,
+                max_sh_degree=0, seed=11, bake_max_cells=16,
+            )
+            return ts, pbr_state, m
+
+        ts_s, pbr_s, m_s = run(sharded=False)
+        ts_m, pbr_m, m_m = run(sharded=True)
+        assert int(m_s["bake_out_of_budget"]) == 0
+        assert int(m_m["bake_out_of_budget"]) == 0
+        assert abs(float(m_s["loss"]) - float(m_m["loss"])) \
+            < 5e-3 * max(1.0, abs(float(m_s["loss"])))
+        np.testing.assert_allclose(
+            np.asarray(pbr_m.light["base"]), np.asarray(pbr_s.light["base"]),
+            atol=5e-4)
+        np.testing.assert_allclose(
+            np.asarray(ts_m.gauss.params.albedo),
+            np.asarray(ts_s.gauss.params.albedo), atol=5e-3)

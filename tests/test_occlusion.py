@@ -183,6 +183,40 @@ class TestBake:
         # A has SOME visibility laterally/above-horizon away from occluder
         assert float(jnp.mean(occ[:n])) > 0.0
 
+    def test_full_coverage_sweeps_match_single_big_budget(self):
+        """bake_occlusion_full with a starved per-sweep budget must cover
+        every occupied cell (oob == 0) and reproduce the single-sweep
+        full-budget result exactly — the sweeps bake the same cells with
+        the same program (VERDICT r4 missing #1)."""
+        n = 48
+        rng = np.random.RandomState(3)
+        pts = jnp.asarray(rng.randn(n, 3).astype(np.float32) * 0.4)
+        scales = jnp.full((n, 3), 0.08)
+        quats = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (n, 1))
+        cov6 = strip_symmetric(covariance_from_scaling_rotation(scales, quats))
+        opac = jnp.full((n,), 0.9)
+        nrm = jnp.asarray(rng.randn(n, 3).astype(np.float32))
+        nrm = nrm / jnp.linalg.norm(nrm, axis=1, keepdims=True)
+        alive = jnp.ones((n,), bool)
+        kw = dict(height=8, width=16, grid_res=3, face_res=16,
+                  config=RasterizerConfig(tile_capacity=128, chunk_tiles=1,
+                                          max_tiles_per_gaussian=4))
+
+        n_occ = int(BK.count_occupied(pts, alive, 3))
+        assert n_occ > 4   # the starved budget really needs several sweeps
+
+        occ_full, oob, n_sweeps = BK.bake_occlusion_full(
+            pts, cov6, opac, nrm, alive, sweep_cells=4, **kw)
+        assert int(oob) == 0
+        assert n_sweeps == -(-n_occ // 4)
+
+        # oracle: one sweep with budget >= all cells covers everything too
+        occ_big, oob_big = BK.bake_occlusion(
+            pts, cov6, opac, nrm, alive, max_cells=27, **kw)
+        assert int(oob_big) == 0
+        np.testing.assert_array_equal(np.asarray(occ_full),
+                                      np.asarray(occ_big))
+
     def test_occlusion_color_reduction(self):
         occ = jnp.ones((5, 16, 32, 1))
         col = BK.occlusion_color(occ, envmap=jnp.full((16, 32, 1), 1.0 / (16 * 32)))

@@ -141,8 +141,10 @@ class TestPbrLoop:
 
         ts1, pbr1, m1, seen1, oob1 = run(1)
         ts2, pbr2, m2, seen2, oob2 = run(6)
+        # the chunked loop replays per-iteration metrics (ADVICE r4:
+        # callback cadence) — both modes fire every iteration
         assert seen1 == list(range(1, 13))
-        assert 7 in seen2 and seen2[-1] == 12   # chunk ends on callback iters
+        assert seen2 == list(range(1, 13))
         np.testing.assert_allclose(
             np.asarray(pbr1.light["base"]), np.asarray(pbr2.light["base"]),
             rtol=2e-4, atol=2e-6)
@@ -153,3 +155,30 @@ class TestPbrLoop:
         # both cameras get baked exactly once; the counter is cumulative
         # and identical between the two dispatch modes
         assert oob1[-1] == oob2[-1]
+
+    def test_occ_slot_buffer_splits_chunks(self):
+        """A starved occ_budget_mb bounds the slot buffer to ONE camera:
+        chunks split whenever the view sequence switches cameras, the
+        sequence itself is unchanged, and the trajectory still matches the
+        unchunked run (ADVICE r4 medium: no [V, ...] preallocation)."""
+        from mygauhuman_tpu.train.pbr import train_loop_pbr
+
+        def run(chunk, budget_mb):
+            scene, cfg, ts, pbr_state, step_fn = self._fresh()
+            ts, pbr_state, m = train_loop_pbr(
+                ts, pbr_state, step_fn, scene.batches, scene.smpl_model,
+                cfg, start_iteration=0, num_iterations=10, max_sh_degree=0,
+                seed=5, scan_chunk=chunk, occ_budget_mb=budget_mb,
+            )
+            return ts, pbr_state, m
+
+        ts1, pbr1, m1 = run(1, 1024.0)
+        # 256 cap * 16 * 32 = 131072 B/view -> 0.0002 MB forces k_max == 1
+        ts2, pbr2, m2 = run(5, 2e-4)
+        np.testing.assert_allclose(
+            np.asarray(pbr1.light["base"]), np.asarray(pbr2.light["base"]),
+            rtol=2e-4, atol=2e-6)
+        np.testing.assert_allclose(
+            np.asarray(ts1.gauss.params.albedo),
+            np.asarray(ts2.gauss.params.albedo), rtol=2e-4, atol=2e-6)
+        assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-4
