@@ -54,7 +54,8 @@ def _blend_bwd_kernel(
     cot_ref,                      # [TB, P, c_out] cotangents block per step
     grad_init_ref,                # zero-init input, aliased to grad_ref
     grad_ref,                     # [NS, G] instance grads in HBM (ANY), RMW
-    chunk_buf, gbuf, rmw_buf, logt_buf, sem, sem2,
+    chunk_buf, gbuf, rmw_buf, logt_buf,
+    sem, sem_r, sem_w,
     *,
     tile_w: int,
     tile_h: int,
@@ -65,6 +66,26 @@ def _blend_bwd_kernel(
     max_chunks: int,
     g_out: int,
 ):
+    """DMA-pipelined two-pass backward (the forward's round-4 treatment,
+    measured variant by variant on the chip):
+
+      * pass 1 stays SERIAL into slot 0 — both a cross-tile chunk-0
+        prefetch (the forward's biggest win) and a double-buffered pass-1
+        loop REGRESSED the step 6.6 -> 9.6 ms at the bench operating
+        point: the extra queued DMAs delay pass 2's serially-dependent
+        RMW reads (the forward has no competing RMW stream). Measured,
+        not assumed — see PERF.md round-5 backward notes.
+      * pass 2 reuses the RESIDENT last chunk (pass 1's serial loop ends
+        with chunk k_chunks-1 in slot 0), so the dominant
+        1-chunk-per-tile case runs pass 2 with ZERO data DMAs; deeper
+        tiles double-buffer their remaining loads.
+      * the pass-2 grad read-modify-write is pipelined on two slots: the
+        next chunk's grad-row read and the previous chunk's write-back
+        both overlap the current chunk's math. RMW windows of DIFFERENT
+        chunks never alias (chunk-aligned, disjoint); windows of
+        ADJACENT TILES can — each tile drains its outstanding writes
+        before returning, and the grid is sequential, so cross-tile RMW
+        stays exact."""
     P = tile_w * tile_h
     pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
     pix_x = (pix % tile_w).astype(jnp.float32)
@@ -99,24 +120,28 @@ def _blend_bwd_kernel(
         g_depth = cot_ref[ti, :, n_feat + 1:n_feat + 2]
         g_final_t = cot_ref[ti, :, n_feat + 2:n_feat + 3]
 
-        def load_chunk(ci):
+        def dma(ci, slot):
             base = pl.multiple_of(base0 + ci * chunk, chunk)
-            dma = pltpu.make_async_copy(
-                data_ref.at[:, pl.ds(base, chunk)], chunk_buf, sem
+            return pltpu.make_async_copy(
+                data_ref.at[:, pl.ds(base, chunk)],
+                chunk_buf.at[slot],
+                sem.at[slot],
             )
-            dma.start()
-            dma.wait()
+
+        def chunk_alphas(rd, ci):
+            """Alpha math for one resident chunk; rd(lo, hi) reads rows
+            [lo, hi) of its [D, chunk] buffer."""
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
             glane = ci * chunk + lane
             in_range = (
                 (glane >= offset) & (glane < offset + count)
             ).astype(jnp.float32)
-            xy_x = chunk_buf[0:1, :]
-            xy_y = chunk_buf[1:2, :]
-            cxx = chunk_buf[2:3, :]
-            cxy = chunk_buf[3:4, :]
-            cyy = chunk_buf[4:5, :]
-            op = chunk_buf[5:6, :]
+            xy_x = rd(0, 1)
+            xy_y = rd(1, 2)
+            cxx = rd(2, 3)
+            cxy = rd(3, 4)
+            cyy = rd(4, 5)
+            op = rd(5, 6)
             dx = xy_x - px
             dy = xy_y - py
             power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
@@ -136,36 +161,90 @@ def _blend_bwd_kernel(
         # logt_buf rows are stale scratch from the previous tile).
         log_eps = jnp.float32(-9.210340371976182)   # log(1e-4)
 
+        def p1_math(rd, ci, log_t_all, log_t_inc):
+            a, _ = chunk_alphas(rd, ci)
+            l1ma = jnp.log1p(-a)
+            cum = _lane_cumsum(l1ma) + log_t_all
+            include = (a > 0.0) & (jnp.exp(cum) >= 1e-4)
+            return (
+                log_t_all + jnp.sum(l1ma, axis=1, keepdims=True),
+                log_t_inc + jnp.sum(jnp.where(include, l1ma, 0.0),
+                                    axis=1, keepdims=True),
+            )
+
+        zero1 = jnp.zeros((P, 1), jnp.float32)
+
         def fwd_cond(st):
             ci, log_t_all, _ = st
             return (ci < n_chunks) & (jnp.max(log_t_all) >= log_eps)
 
         def fwd_body(st):
             ci, log_t_all, log_t_inc = st
+            d = dma(ci, 0)
+            d.start()
+            d.wait()
             logt_buf[ci, :] = log_t_all[:, 0]
-            a, _ = load_chunk(ci)
-            l1ma = jnp.log1p(-a)
-            cum = _lane_cumsum(l1ma) + log_t_all
-            include = (a > 0.0) & (jnp.exp(cum) >= 1e-4)
-            return (
-                ci + 1,
-                log_t_all + jnp.sum(l1ma, axis=1, keepdims=True),
-                log_t_inc + jnp.sum(jnp.where(include, l1ma, 0.0), axis=1,
-                                    keepdims=True),
+            log_t_all, log_t_inc = p1_math(
+                lambda lo, hi: chunk_buf[0, lo:hi, :], ci,
+                log_t_all, log_t_inc,
             )
+            return ci + 1, log_t_all, log_t_inc
 
-        zero1 = jnp.zeros((P, 1), jnp.float32)
         k_chunks, _, log_t_inc = jax.lax.while_loop(
             fwd_cond, fwd_body, (jnp.zeros((), jnp.int32), zero1, zero1)
         )
+
         final_t = jnp.exp(log_t_inc)                        # [P, 1]
         tail = final_t * g_final_t                          # [P, 1]
 
         # ---- pass 2: back-to-front gradient accumulation (k_chunks only;
         # the skipped tail's grad rows stay zero via the aliased zero init)
+        def grad_rd(ci, slot):
+            base = pl.multiple_of(base0 + ci * chunk, chunk)
+            return pltpu.make_async_copy(
+                grad_ref.at[pl.ds(base, chunk), :],
+                rmw_buf.at[slot],
+                sem_r.at[slot],
+            )
+
+        def grad_wr(ci, slot):
+            base = pl.multiple_of(base0 + ci * chunk, chunk)
+            return pltpu.make_async_copy(
+                rmw_buf.at[slot],
+                grad_ref.at[pl.ds(base, chunk), :],
+                sem_w.at[slot],
+            )
+
+        # warm-up: chunk k_chunks-1 is already RESIDENT in slot 0 (pass 1's
+        # serial loop loads every chunk into slot 0, ending with the last
+        # one) — pass 2's first iteration needs no data DMA at all. At the
+        # ~1-chunk-per-tile operating point that removes one of the two
+        # serial chunk loads per nonempty tile.
+        grad_rd(k_chunks - 1, 0).start()
+
         def bwd_body(k, s_carry):
             ci = k_chunks - 1 - k
-            a, (dx, dy, power, raw, ok, in_range) = load_chunk(ci)
+            slot = jax.lax.rem(k, 2)
+
+            # prefetch chunk ci-1 into the other slot; its rmw_buf slot is
+            # free once the write issued at k-1 (same slot) completes
+            @pl.when(k + 1 < k_chunks)
+            def _():
+                @pl.when(k >= 1)
+                def _():
+                    grad_wr(ci + 1, 1 - slot).wait()
+
+                dma(ci - 1, 1 - slot).start()
+                grad_rd(ci - 1, 1 - slot).start()
+
+            @pl.when(k >= 1)
+            def _():
+                dma(ci, slot).wait()
+
+            def rd(lo, hi):
+                return chunk_buf[slot, lo:hi, :]
+
+            a, (dx, dy, power, raw, ok, in_range) = chunk_alphas(rd, ci)
             l1ma = jnp.log1p(-a)
             log_t_start = logt_buf[ci, :][:, None]          # [P, 1]
             cum = _lane_cumsum(l1ma) + log_t_start
@@ -174,8 +253,8 @@ def _blend_bwd_kernel(
             include = (a > 0.0) & (t_after >= 1e-4)
             w = jnp.where(include, a * t_before, 0.0)       # [P, chunk]
 
-            feat = chunk_buf[HDR:, :]                       # [Cp, chunk]
-            dep = chunk_buf[6:7, :]
+            feat = rd(HDR, None)                            # [Cp, chunk]
+            dep = rd(6, 7)
             # q = f.g_color + g_alpha + depth*g_depth : [P, chunk]
             q = jax.lax.dot_general(
                 g_color, feat,
@@ -201,10 +280,10 @@ def _blend_bwd_kernel(
             # chain through a = min(0.99, op*exp(power)), gated by ok
             live = (raw < 0.99) & ok & (in_range > 0)
             d_raw = jnp.where(live, da, 0.0)
-            op = chunk_buf[5:6, :]
-            cxx = chunk_buf[2:3, :]
-            cxy = chunk_buf[3:4, :]
-            cyy = chunk_buf[4:5, :]
+            op = rd(5, 6)
+            cxx = rd(2, 3)
+            cxy = rd(3, 4)
+            cyy = rd(4, 5)
             e_p = jnp.exp(power)
             d_op_px = d_raw * e_p                            # [P, chunk]
             d_power = d_raw * op * e_p
@@ -236,16 +315,12 @@ def _blend_bwd_kernel(
             gbuf[7:8, :] = jnp.zeros((1, chunk), jnp.float32)
             gbuf[HDR:, :] = d_feat
 
-            # read-modify-write accumulate into the global instance grads
-            # (instance-major [NS, G]: transpose the [G, chunk] staging
-            # block — cheap VREG shuffles — so each instance's gradient
-            # row lands contiguous)
-            base = pl.multiple_of(base0 + ci * chunk, chunk)
-            rd = pltpu.make_async_copy(
-                grad_ref.at[pl.ds(base, chunk), :], rmw_buf, sem2
-            )
-            rd.start()
-            rd.wait()
+            # accumulate into the chunk's grad rows (instance-major
+            # [NS, G]: transpose the [G, chunk] staging block — cheap VREG
+            # shuffles — so each instance's gradient row lands contiguous);
+            # the write-back is NOT waited here — it overlaps the next
+            # chunk's math and is drained at k+1 / after the loop.
+            grad_rd(ci, slot).wait()
             row = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
             grow = ci * chunk + row
             mask = (grow >= offset) & (grow < offset + count)
@@ -257,16 +332,25 @@ def _blend_bwd_kernel(
                     [gt, jnp.zeros((chunk, g_out - gt.shape[1]),
                                    jnp.float32)], axis=1
                 )
-            rmw_buf[...] = rmw_buf[...] + jnp.where(mask, gt, 0.0)
-            wr = pltpu.make_async_copy(
-                rmw_buf, grad_ref.at[pl.ds(base, chunk), :], sem2
-            )
-            wr.start()
-            wr.wait()
+            rmw_buf[slot] = rmw_buf[slot] + jnp.where(mask, gt, 0.0)
+            grad_wr(ci, slot).start()
 
             return s_carry + jnp.sum(wq, axis=1, keepdims=True)
 
         jax.lax.fori_loop(0, k_chunks, bwd_body, zero1)
+
+        # drain the tile's outstanding writes: iterations k_chunks-1 and
+        # (when it exists) k_chunks-2 — earlier writes were waited at k+1.
+        # Adjacent tiles' RMW windows can alias, so the next tile must not
+        # start until these land.
+        @pl.when(k_chunks >= 2)
+        def _():
+            grad_wr(
+                k_chunks - 1 - (k_chunks - 2),
+                jax.lax.rem(k_chunks - 2, 2),
+            ).wait()
+
+        grad_wr(0, jax.lax.rem(k_chunks - 1, 2)).wait()
 
     for ti in range(tiles_per_step):
         one_tile(ti)
@@ -322,12 +406,13 @@ def blend_tiles_bwd_raw(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),  # grads stay in HBM
         scratch_shapes=[
-            pltpu.VMEM((D, chunk), jnp.float32),      # chunk_buf (data)
+            pltpu.VMEM((2, D, chunk), jnp.float32),   # double-buffered data
             pltpu.VMEM((D, chunk), jnp.float32),      # gbuf (grad staging)
-            pltpu.VMEM((chunk, g_out), jnp.float32),  # rmw_buf ([NS, G] RMW)
+            pltpu.VMEM((2, chunk, g_out), jnp.float32),  # pipelined RMW
             pltpu.VMEM((max_chunks, P), jnp.float32),  # per-chunk log T
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),            # data slots
+            pltpu.SemaphoreType.DMA((2,)),            # grad-read slots
+            pltpu.SemaphoreType.DMA((2,)),            # grad-write slots
         ],
     )
     kernel = functools.partial(
