@@ -190,6 +190,22 @@ def _batch_specs(batch: TrainBatch, spec_d, repl):
     return jax.tree_util.tree_map(spec, batch)
 
 
+def _place(tree, specs, mesh):
+    """device_put a pytree onto its NamedShardings BEFORE the jitted step
+    sees it: without this the first call (host-committed arrays) and every
+    later call (mesh-sharded outputs) carry different input shardings and
+    the step compiles TWICE (PERF.md round-4 sharded-path note). Already-
+    correctly-placed arrays are a no-op."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    shardings = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    return jax.device_put(tree, shardings)
+
+
 def make_tile_sharded_train_step(
     smpl_model: SMPLModel,
     tx: optax.GradientTransformation,
@@ -397,6 +413,10 @@ def make_tile_sharded_train_step(
         return sharded(ts, batch, consts)
 
     def step(ts: TrainState, batch: TrainBatch, active_sh_degree: int):
+        # pre-shard: one executable instead of an unsharded-inputs compile
+        # on the first call plus a sharded-inputs compile on the rest
+        ts = _place(ts, ts_specs(ts), mesh)
+        batch = _place(batch, batch_specs(batch), mesh)
         return _step(ts, batch, consts, int(active_sh_degree))
 
     return step
@@ -490,6 +510,21 @@ def make_tile_sharded_pbr_step(
         }
 
         def one_view(params, light_vol, view, occ_one):
+            # geometry + MLPs frozen in phase B: stop_gradient here prunes
+            # the geometry backward from the AD graph entirely (see
+            # train/pbr.py loss_fn — grads are identical structural zeros)
+            sg = jax.lax.stop_gradient
+            g = params.gaussians
+            params = params._replace(
+                gaussians=g._replace(
+                    xyz=sg(g.xyz), features_dc=sg(g.features_dc),
+                    features_rest=sg(g.features_rest),
+                    scaling=sg(g.scaling), rotation=sg(g.rotation),
+                    opacity=sg(g.opacity),
+                ),
+                pose_refiner=sg(params.pose_refiner),
+                lbs_offset=sg(params.lbs_offset),
+            )
             gstate = G.GaussianState(
                 params=params.gaussians,
                 alive=gauss_aux["alive"],
@@ -631,6 +666,10 @@ def make_tile_sharded_pbr_step(
 
     def step(ts, pbr_state, batch, knn3, occ_col, prefilter_w,
              active_sh_degree: int):
+        # pre-shard (see make_tile_sharded_train_step.step)
+        ts = _place(ts, _ts_specs(ts, spec_g, repl), mesh)
+        batch = _place(batch, _batch_specs(batch, spec_d, repl), mesh)
+        occ_col = _place(occ_col, spec_do, mesh)
         return _step(ts, pbr_state, batch, knn3, occ_col, prefilter_w,
                      consts, int(active_sh_degree))
 

@@ -234,10 +234,23 @@ def make_pbr_train_step(
         view_dirs = canonical_view_dirs(batch.camera)
 
         def loss_fn(params: TrainableParams, light_vol: dict):
-            gstate = ts.gauss._replace(params=params.gaussians)
+            # Geometry is FROZEN in phase B (gaussian_model.py:289-307):
+            # stop_gradient the frozen leaves HERE so AD never builds the
+            # geometry backward at all (projection/binning/LBS/SMPL/MLP
+            # transposes) instead of computing those grads and zeroing
+            # them after — the grads fed to the optimizer are identical
+            # (structural zeros), the step is materially cheaper (PERF.md
+            # round-5 PBR-step anatomy).
+            sg = jax.lax.stop_gradient
+            g = params.gaussians
+            gstate = ts.gauss._replace(params=g._replace(
+                xyz=sg(g.xyz), features_dc=sg(g.features_dc),
+                features_rest=sg(g.features_rest), scaling=sg(g.scaling),
+                rotation=sg(g.rotation), opacity=sg(g.opacity),
+            ))
             mlps = {
-                "pose_refiner": params.pose_refiner,
-                "lbs_offset": params.lbs_offset,
+                "pose_refiner": sg(params.pose_refiner),
+                "lbs_offset": sg(params.lbs_offset),
             }
             out = render_frame(
                 gstate, batch.camera, batch.frame, smpl,
