@@ -37,6 +37,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_iterations", type=int, nargs="+", default=[1200])
     p.add_argument("--pbr_iteration", type=int, default=30_000)
     p.add_argument("--use_kl_densify", action="store_true")
+    # densify schedule (reference OptimizationParams,
+    # arguments/__init__.py:91-96)
+    p.add_argument("--densification_interval", type=int, default=100)
+    p.add_argument("--densify_from_iter", type=int, default=400)
+    p.add_argument("--densify_until_iter", type=int, default=2000)
+    p.add_argument("--densify_grad_threshold", type=float, default=2e-4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--start_checkpoint", type=str, default="",
                    help="resume from <dir>/chkpnt<iter> "
@@ -91,7 +97,33 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--exchange_capacity", type=int, default=16384,
                    help="per-(shard, strip) instance window of the "
                         "multichip all_to_all exchange")
+    p.add_argument("--precompile", action="store_true",
+                   help="compile every program the budgeted run needs "
+                        "(chunk executables per SH degree, densify, eval, "
+                        "at every capacity of the densify doubling ladder) "
+                        "into the persistent XLA cache, then exit without "
+                        "training — run once on a fresh machine so the "
+                        "real run starts warm (PERF.md cold-start wall)")
+    p.add_argument("--precompile_max_cap", type=int, default=65536,
+                   help="top of the capacity ladder --precompile warms "
+                        "for an auto-capacity run (ignored when "
+                        "--capacity pins the capacity)")
     return p
+
+
+def _load_body_model(smpl_type: str, model_path: str, source_path: str):
+    """--smpl_type dispatch (reference arguments/__init__.py smpl_type +
+    scene dispatch): 'smplx' (or an .smc source) loads the 55-joint SMPL-X
+    into the common SMPLModel pytree; everything downstream (pose-refiner
+    width, LBS, densify) is total_bones-generic."""
+    if smpl_type == "smplx" or source_path.endswith(".smc") \
+            or "dna_rendering" in source_path.lower():
+        from mygauhuman_tpu.models.smplx import load_smplx
+
+        return load_smplx(model_path)
+    from mygauhuman_tpu.models.smpl import load_smpl
+
+    return load_smpl(model_path)
 
 
 def main(argv=None) -> dict:
@@ -129,6 +161,10 @@ def main(argv=None) -> dict:
         iterations=args.iterations,
         pbr_iteration=args.pbr_iteration,
         use_kl_densify=args.use_kl_densify,
+        densification_interval=args.densification_interval,
+        densify_from_iter=args.densify_from_iter,
+        densify_until_iter=args.densify_until_iter,
+        densify_grad_threshold=args.densify_grad_threshold,
     )
     use_pallas = (
         args.use_pallas
@@ -167,9 +203,9 @@ def main(argv=None) -> dict:
             load_scene_info,
             zju_normal_reencode,
         )
-        from mygauhuman_tpu.models.smpl import load_smpl
 
-        smpl_model = load_smpl(args.smpl_model_path)
+        smpl_model = _load_body_model(args.smpl_type, args.smpl_model_path,
+                                      args.source_path)
         info = load_scene_info(
             args.source_path, args.white_background, args.exp_name,
             args.eval, smpl_model,
@@ -407,6 +443,93 @@ def main(argv=None) -> dict:
                 test_psnr = means["psnr"]
         return test_psnr
 
+    scan_chunk = 1 if args.gui else max(1, args.scan_chunk)
+
+    if args.precompile:
+        # Cold-start mitigation (the cold wall is 4-7x the warm wall,
+        # PERF.md): drive every jitted program of the budgeted run through
+        # compilation — each lands in the persistent cache — then exit.
+        # Chunk executables are compiled with ZERO-trip dispatches (the
+        # trip count is traced, so the n=0 call builds the same
+        # executable the real run uses); densify/eval run once on
+        # throwaway copies. The step/densify/eval programs RETRACE PER
+        # CAPACITY and an auto-capacity run doubles capacity during
+        # densification (8k->16k->32k->64k on the ZJU budget) — a
+        # single-capacity warmup missed ~145 s of in-loop compiles
+        # (measured, PERF.md cold-start section) — so the warmer walks
+        # the same doubling ladder up to --precompile_max_cap. An
+        # explicit --capacity run has no growth: the ladder collapses to
+        # that one capacity.
+        t0 = time.time()
+        from mygauhuman_tpu.models import gaussians as G
+        from mygauhuman_tpu.train.optim import grow_opt_state
+        from mygauhuman_tpu.train.trainer import (
+            active_sh_degree_at,
+            densify_event,
+        )
+
+        phase_a = min(cfg.iterations, cfg.pbr_iteration)
+        degs = sorted({active_sh_degree_at(it, args.sh_degree)
+                       for it in range(1, phase_a + 1)})
+        eval_degs = sorted({active_sh_degree_at(it, args.sh_degree)
+                            for it in args.test_iterations
+                            if it <= cfg.iterations}) or [degs[-1]]
+        want_densify = (phase_a >= cfg.densify_from_iter
+                        and cfg.densify_until_iter > cfg.densify_from_iter)
+        caps = [ts.gauss.capacity]
+        if not args.capacity:        # auto-capacity: mid-run doubling
+            while caps[-1] < max(args.precompile_max_cap, caps[0]):
+                caps.append(caps[-1] * 2)
+        views_w = None
+        if scan_chunk > 1 and hasattr(step_fn, "chunk"):
+            views_w = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *train_batches)
+        b0 = test_batches[0]
+        ts_w = ts
+        for ci, cap in enumerate(caps):
+            tc = time.time()
+            if cap != ts_w.gauss.capacity:
+                ts_w = ts_w._replace(
+                    gauss=G.grow_capacity(ts_w.gauss, cap),
+                    opt_state=grow_opt_state(
+                        ts_w.opt_state, ts_w.gauss.capacity, cap),
+                )
+            if views_w is not None:
+                for deg in degs:
+                    ts_w, _ = step_fn.chunk(ts_w, views_w, [], deg,
+                                            pad_to=scan_chunk)
+            else:
+                for deg in degs:
+                    ts_w, _ = step_fn(ts_w, train_batches[0], deg)
+            if want_densify:
+                densify_event(
+                    jax.tree_util.tree_map(jnp.copy, ts_w),
+                    jax.random.PRNGKey(0), cfg, extent, smpl_vertices,
+                    cfg.densify_from_iter,
+                )
+            for deg in eval_degs:
+                out_w = _eval_render(
+                    ts_w.gauss, b0.camera, b0.frame,
+                    {"pose_refiner": ts_w.pose_refiner,
+                     "lbs_offset": ts_w.lbs_offset},
+                    deg,
+                )
+            _eval_metrics(out_w.render, b0.gt_image)
+            jax.block_until_ready(out_w.render)
+            print(f"precompile: capacity {cap} "
+                  f"({len(degs)} chunk + {int(want_densify)} densify + "
+                  f"{len(eval_degs)} eval programs) "
+                  f"in {time.time() - tc:.1f}s", flush=True)
+        elapsed = time.time() - t0
+        print(f"precompile: {len(caps)} capacit{'ies' if len(caps) > 1 else 'y'} "
+              f"{caps} in {elapsed:.1f}s total — cache is warm, re-run "
+              f"without --precompile to train")
+        logger.close()
+        if gui is not None:
+            gui.close()
+        return {"elapsed_s": elapsed, "precompiled": True,
+                "final_loss": 0.0, "test_psnr": 0.0, "out_dir": out_dir}
+
     start = time.time()
     last_psnr = 0.0
 
@@ -466,7 +589,6 @@ def main(argv=None) -> dict:
                             eval_cache)
 
     phase_a_iters = min(cfg.iterations, cfg.pbr_iteration)
-    scan_chunk = 1 if args.gui else max(1, args.scan_chunk)
     ts, metrics = train_loop(
         ts, tx, step_fn, train_batches, cfg,
         extent=extent, smpl_vertices=smpl_vertices,

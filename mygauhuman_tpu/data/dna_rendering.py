@@ -161,13 +161,23 @@ def read_dna_rendering_info(
     path: str, white_background: bool, output_path: str, eval: bool,
     smplx_model=None, smplx_model_path: str = "assets/models/smplx/",
 ) -> SceneInfo:
+    reader = SMCReader(path)
     if smplx_model is None:
-        reader = SMCReader(path)
         gender = (reader.actor_info or {}).get("gender", "neutral")
         smplx_model = load_smplx(smplx_model_path, gender=gender)
 
-    train_view = [i for i in range(48) if i not in [12, 30]]
-    test_view = [12, 30]
+    # reference view split (dataset_readers.py:1002-1006: 48 cameras, test
+    # [12, 30]) clipped to the cameras actually present in the capture —
+    # small/partial captures keep working (the reference would KeyError)
+    avail = sorted(int(c) for c in reader.get_camera_ids())
+    reader.release()
+    train_view = [i for i in range(48)
+                  if i not in (12, 30) and i in avail]
+    test_view = [i for i in (12, 30) if i in avail]
+    if not test_view:
+        test_view = [avail[-1]]
+        if len(avail) > 1:
+            train_view = [v for v in train_view if v != avail[-1]]
     train = read_cameras_dna_rendering(path, train_view, white_background,
                                        smplx_model, split="train")
     test = read_cameras_dna_rendering(path, test_view, white_background,

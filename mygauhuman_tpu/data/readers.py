@@ -573,8 +573,17 @@ def load_scene_info(
     if source_path.endswith(".smc") or "dna_rendering" in source_path.lower():
         from mygauhuman_tpu.data.dna_rendering import read_dna_rendering_info
 
+        # forward only a 55-joint SMPL-X pytree (cli passes load_smplx
+        # output for --smpl_type smplx); a 24-joint SMPL (or None) falls
+        # back to the reader's own gender-matched load from the default
+        # assets path
+        smplx_model = (
+            smpl_model if smpl_model is not None
+            and smpl_model.j_regressor.shape[0] == 55 else None
+        )
         return read_dna_rendering_info(source_path, white_background,
-                                       output_path, eval)
+                                       output_path, eval,
+                                       smplx_model=smplx_model)
     if os.path.exists(os.path.join(source_path, "sparse")):
         from mygauhuman_tpu.data.colmap import read_colmap_scene_info
 

@@ -31,6 +31,16 @@ def enable_persistent_cache(path: str | None = None) -> str:
     path = path or env or _DEFAULT
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
+    # Pallas kernels serialize their MLIR (incl. LOCATION metadata with
+    # the full Python call stack) into the custom-call backend_config —
+    # bytes the cache key hashes but the key canonicalizer cannot strip.
+    # Any program containing a Pallas call therefore got a DIFFERENT key
+    # per calling code path: cli/train --precompile warmed keys the real
+    # train loop then missed entirely (measured: 283 s precompile + 274 s
+    # "warm" run; byte-identical modules once tracebacks are excluded —
+    # PERF.md round-5 cold-start section). Op-level profiling attribution
+    # is unaffected (it rides the jaxpr name stack, not these locs).
+    jax.config.update("jax_include_full_tracebacks_in_locations", False)
     # 0.1 s floor: with the 1.0 s default, every small eager/init program
     # sat below the threshold and recompiled through the tunnel on every
     # process start (hundreds of round trips during scene build)
