@@ -114,7 +114,7 @@ def main(argv=None) -> dict:
     if args.relight:
         from mygauhuman_tpu.pbr.cubemap import latlong_to_cubemap
         from mygauhuman_tpu.pbr.light import build_mips
-        from mygauhuman_tpu.pbr.shade import get_brdf_lut, pbr_shading
+        from mygauhuman_tpu.pbr.shade import get_brdf_lut, pbr_shading_planar
         from mygauhuman_tpu.train.pbr import R_MAX, R_MIN, canonical_view_dirs
 
         if args.relight.endswith(".npy"):
@@ -164,17 +164,25 @@ def main(argv=None) -> dict:
             light, brdf_lut = relight
 
             def shade_gbuffers(o, cam):
-                return pbr_shading(
+                # planar shading: the G-buffers come off the rasterizer
+                # channel-planar; the channel-minor pbr_shading costs
+                # ~46 ms/frame on TPU at 512^2 (slow-path gathers),
+                # pbr_shading_planar ~1 ms (PERF.md round-5 PBR anatomy)
+                vd = canonical_view_dirs(cam)
+                planes = lambda im: tuple(  # noqa: E731
+                    im[..., c] for c in range(3))
+                rgb = pbr_shading_planar(
                     light=light,
-                    normals=o.world_normal * 2.0 - 1.0,
-                    view_dirs=canonical_view_dirs(cam),
-                    albedo=o.albedo,
-                    roughness=o.roughness[..., None] * (R_MAX - R_MIN)
-                    + R_MIN,
-                    mask=o.render_alpha[..., None],
-                    occlusion=o.occlusion[..., 0:1],
+                    normals=tuple(p * 2.0 - 1.0
+                                  for p in planes(o.world_normal)),
+                    view_dirs=planes(vd),
+                    albedo=planes(o.albedo),
+                    roughness=o.roughness * (R_MAX - R_MIN) + R_MIN,
+                    mask=o.render_alpha,
+                    occlusion=o.occlusion[..., 0],
                     brdf_lut=brdf_lut,
                 )["render_rgb"]
+                return jnp.stack(rgb, axis=-1)
 
             img = np.asarray(shade_gbuffers(out, batch.camera))
             if gt_scene_state is not None:

@@ -16,7 +16,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mygauhuman_tpu.pbr.cubemap import sample_2d, sample_cubemap, sample_cubemap_mips
+from mygauhuman_tpu.pbr.cubemap import (
+    sample_2d,
+    sample_2d_planar,
+    sample_cubemap,
+    sample_cubemap_mips,
+    sample_cubemap_mips_planar,
+    sample_cubemap_planar,
+)
 from mygauhuman_tpu.pbr.light import CubemapLight, get_mip
 
 
@@ -184,6 +191,85 @@ def pbr_shading(
     if gamma:
         render_rgb = linear_to_srgb(render_rgb)
     render_rgb = jnp.where(mask > 0, render_rgb, background)
+
+    return {
+        "render_rgb": render_rgb,
+        "diffuse_rgb": diffuse_rgb,
+        "specular_rgb": specular_rgb,
+        "diffuse_light": diffuse_light,
+    }
+
+
+def pbr_shading_planar(
+    light: CubemapLight,
+    normals: tuple,            # 3 x [H, W] planes, world, unit
+    view_dirs: tuple,          # 3 x [H, W] planes, surface -> camera, unit
+    albedo: tuple,             # 3 x [H, W] planes
+    roughness: jnp.ndarray,    # [H, W]
+    mask: jnp.ndarray,         # [H, W]
+    brdf_lut: jnp.ndarray,     # [256, 256, 2]
+    occlusion: jnp.ndarray | None = None,   # [H, W]
+    metallic: jnp.ndarray | None = None,    # [H, W]
+    tone: bool = False,
+    gamma: bool = False,
+    background: tuple | None = None,        # 3 x [H, W]
+) -> dict:
+    """pbr_shading on channel-PLANAR images (tuples of [H, W] planes);
+    identical math (tested vs pbr_shading to fp tolerance).
+
+    Exists for the TPU train step: the rasterizer's G-buffers carry a
+    channel-planar device layout, and the channel-minor sampling in
+    pbr_shading makes XLA lay the gather outputs (and, transitively,
+    their index chains) out transposed — the ~70x scalar gather path,
+    ~46 ms of a 130 ms PBR step at 512^2 (PERF.md round-5 PBR anatomy).
+    Here NOTHING carries a size-3 channel dimension — inputs, outputs,
+    and all intermediate math are [H, W] planes (tuples, not stacked
+    [3,H,W] arrays: a stacked array re-opens the same layout fight) —
+    so every gather keeps natural-layout indices and outputs. Callers
+    slice planes for free from the planar-layout G-buffers
+    (`img[..., c]`) and pay ONE interleave of the final rgb for the
+    channel-minor loss stack."""
+    if background is None:
+        background = (0.0, 0.0, 0.0)
+
+    diffuse_map = jnp.clip(light.diffuse ** (1.0 / 2.2), 0.0, 1.0)
+
+    nx, ny, nz = normals
+    vx, vy, vz = view_dirs
+    ndv = nx * vx + ny * vy + nz * vz                         # [H, W]
+    two_ndv = 2.0 * jnp.clip(ndv, 0.0, None)
+    rx = two_ndv * nx - vx
+    ry = two_ndv * ny - vy
+    rz = two_ndv * nz - vz
+
+    diffuse_light = sample_cubemap_planar(diffuse_map, nx, ny, nz)
+    if occlusion is not None:
+        diffuse_light = tuple(d * occlusion for d in diffuse_light)
+    diffuse_rgb = tuple(d * a for d, a in zip(diffuse_light, albedo))
+
+    nov = jnp.clip(ndv, 1e-4, 1.0)
+    fg0 = sample_2d_planar(brdf_lut, nov, roughness)[0]       # [H, W]
+
+    n_levels = len(light.specular)
+    mip = get_mip(roughness, n_levels)
+    spec = sample_cubemap_mips_planar(list(light.specular), rx, ry, rz, mip)
+
+    if metallic is None:
+        f0 = (0.04, 0.04, 0.04)
+    else:
+        f0 = tuple((1.0 - metallic) * 0.04 + a * metallic for a in albedo)
+    reflectance = tuple(f * fg0 for f in f0)
+    specular_rgb = tuple(s * r for s, r in zip(spec, reflectance))
+
+    render_rgb = tuple(d + s for d, s in zip(diffuse_rgb, specular_rgb))
+    if tone:
+        render_rgb = tuple(aces_film(c) for c in render_rgb)
+    else:
+        render_rgb = tuple(jnp.clip(c, 0.0, 1.0) for c in render_rgb)
+    if gamma:
+        render_rgb = tuple(linear_to_srgb(c) for c in render_rgb)
+    render_rgb = tuple(
+        jnp.where(mask > 0, c, bg) for c, bg in zip(render_rgb, background))
 
     return {
         "render_rgb": render_rgb,

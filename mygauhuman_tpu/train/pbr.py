@@ -25,7 +25,7 @@ from mygauhuman_tpu.occlusion.volumes import IrradianceVolumes, init_irradiance_
 from mygauhuman_tpu.ops.knn import knn
 from mygauhuman_tpu.ops.rasterize import RasterizerConfig
 from mygauhuman_tpu.pbr.light import build_mips, export_envmap, init_cubemap_light
-from mygauhuman_tpu.pbr.shade import get_brdf_lut, pbr_shading
+from mygauhuman_tpu.pbr.shade import get_brdf_lut, pbr_shading_planar
 from mygauhuman_tpu.render import render_frame
 from mygauhuman_tpu.train import losses as L
 from mygauhuman_tpu.train.optim import TrainableParams
@@ -109,23 +109,30 @@ def compute_losses_pbr(
     step all_gathers its local material shards before calling this."""
     light = build_mips(light_params, prefilter_w)
     alpha = out.render_alpha[..., None]
-    world_normal = jax.lax.stop_gradient(out.world_normal * 2.0 - 1.0)
     roughness_img = out.roughness[..., None] * (R_MAX - R_MIN) + R_MIN
     occlusion_img = out.occlusion[..., 0:1]
 
-    pbr = pbr_shading(
+    # PLANAR shading: the rasterizer's G-buffers are channel-planar on
+    # device, and channel-minor sampling made XLA emit slow scalar-path
+    # gathers (46 ms of the 130 ms step — PERF.md round-5 PBR anatomy).
+    # Planes are sliced (free on the planar layout), the shading runs
+    # entirely on [H, W] planes, and the one real relayout is the final
+    # interleave of rgb for the channel-minor loss stack.
+    sg = jax.lax.stop_gradient
+    planes = lambda img: tuple(img[..., c] for c in range(3))  # noqa: E731
+    pbr = pbr_shading_planar(
         light=light,
-        normals=world_normal,
-        view_dirs=view_dirs,
-        albedo=out.albedo,
-        roughness=roughness_img,
-        mask=alpha,
-        occlusion=occlusion_img,
+        normals=tuple(sg(p * 2.0 - 1.0) for p in planes(out.world_normal)),
+        view_dirs=planes(view_dirs),
+        albedo=planes(out.albedo),
+        roughness=out.roughness * (R_MAX - R_MIN) + R_MIN,
+        mask=out.render_alpha,
+        occlusion=out.occlusion[..., 0],
         brdf_lut=brdf_lut,
         tone=False,
         gamma=False,
     )
-    rgb = pbr["render_rgb"]
+    rgb = jnp.stack(pbr["render_rgb"], axis=-1)
 
     bm = batch.bound_mask.astype(jnp.float32)
     ll1 = L.masked_l1(rgb, batch.gt_image, bm)

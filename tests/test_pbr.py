@@ -173,6 +173,58 @@ class TestShading:
             jnp.mean(full["diffuse_rgb"])
         )
 
+    def test_planar_shading_matches_channel_minor(self):
+        """pbr_shading_planar is a TPU-layout rewrite of pbr_shading —
+        identical math, planar [C,H,W] images, per-channel flat-table
+        gathers (PERF.md round-5 PBR anatomy)."""
+        rng = np.random.RandomState(0)
+        params = {"base": jnp.asarray(rng.rand(6, 8, 8, 3), jnp.float32)}
+        light = L.build_mips(params)
+        H = W = 16
+        nrm = rng.randn(H, W, 3).astype(np.float32)
+        nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+        view = rng.randn(H, W, 3).astype(np.float32)
+        view /= np.linalg.norm(view, axis=-1, keepdims=True)
+        albedo = rng.rand(H, W, 3).astype(np.float32)
+        rough = rng.rand(H, W, 1).astype(np.float32)
+        mask = (rng.rand(H, W, 1) > 0.3).astype(np.float32)
+        occ = rng.rand(H, W, 1).astype(np.float32)
+        lut = S.get_brdf_lut()
+
+        ref = S.pbr_shading(light, jnp.asarray(nrm), jnp.asarray(view),
+                            jnp.asarray(albedo), jnp.asarray(rough),
+                            jnp.asarray(mask), lut,
+                            occlusion=jnp.asarray(occ))
+        p = lambda x: tuple(  # noqa: E731
+            jnp.asarray(x[..., c]) for c in range(3))
+        got = S.pbr_shading_planar(
+            light, p(nrm), p(view), p(albedo),
+            jnp.asarray(rough[..., 0]), jnp.asarray(mask[..., 0]), lut,
+            occlusion=jnp.asarray(occ[..., 0]))
+        for k in ("render_rgb", "diffuse_rgb", "specular_rgb",
+                  "diffuse_light"):
+            np.testing.assert_allclose(
+                np.asarray(jnp.stack(got[k], axis=-1)),
+                np.asarray(ref[k]), atol=2e-6, err_msg=k)
+
+    def test_planar_shading_gradients(self):
+        """Light + material gradients flow through the planar samplers."""
+        params = {"base": jnp.full((6, 8, 8, 3), 0.5)}
+        H = W = 8
+        nrm = (jnp.zeros((H, W)), jnp.zeros((H, W)), jnp.ones((H, W)))
+        alb = jnp.full((3, H, W), 0.8)
+
+        def f(base, a):
+            light = L.build_mips({"base": base})
+            out = S.pbr_shading_planar(
+                light, nrm, nrm, tuple(a), jnp.full((H, W), 0.4),
+                jnp.ones((H, W)), S.get_brdf_lut())
+            return sum(jnp.sum(c) for c in out["render_rgb"])
+
+        gb, ga = jax.grad(f, argnums=(0, 1))(params["base"], alb)
+        assert float(jnp.sum(jnp.abs(gb))) > 0
+        assert float(jnp.sum(jnp.abs(ga))) > 0
+
     def test_tone_and_gamma(self):
         x = jnp.asarray([[0.0, 0.5, 4.0]])
         assert float(jnp.max(S.aces_film(x))) <= 1.0
