@@ -111,135 +111,57 @@ def coarse_deform_c2source(
         bweights = jnp.exp(bweights - jnp.max(bweights, axis=-1, keepdims=True))
         bweights = bweights / jnp.sum(bweights, axis=-1, keepdims=True)
 
-    # All per-Gaussian matrix math below is componentwise over [N] slices —
-    # batched [N,3,3]/[N,4,4] dot_generals materialize T(·,128)-padded
-    # layouts that cost ~0.4-2 ms each at 64k capacity (see
-    # utils/transforms.py SoA note). The blended joint transform comes out
-    # of ONE MXU matmul in component-major [12, N] form.
-    def blend_A(A):
-        """[J,4,4] -> 12 components (r00,r01,r02,t0,...,t2), each [N]."""
+    # The per-Gaussian chain below runs componentwise over [N] lane
+    # vectors — batched [N,3,3]/[N,4,4] dot_generals materialize
+    # T(·,128)-padded layouts (see utils/transforms.py SoA note), and
+    # even the SoA form gets scalar-lowered by the XLA TPU backend in
+    # large step programs (~6-8 ms/step at 64k capacity, profiled). The
+    # blended joint transforms come out of ONE MXU einsum each in
+    # component-major [12, N] form, and the chain itself runs in the
+    # Pallas kernel `ops/pallas_deform.py` (pure-jnp twin on CPU and in
+    # the backward — identical math, tested).
+    from mygauhuman_tpu.ops.pallas_deform import deform_rows
+
+    def blend12(A):
+        """[J,4,4] -> [12, N] components (r00,r01,r02,t0,...,t2)."""
         A_flat = A[:, :3, :].reshape(-1, 12)                  # [J, 12]
-        A_ptT = jnp.einsum("jk,nj->kn", A_flat, bweights,     # [12, N]
-                           precision=jax.lax.Precision.HIGHEST)
-        return tuple(A_ptT[i] for i in range(12))
+        return jnp.einsum("jk,nj->kn", A_flat, bweights,
+                          precision=jax.lax.Precision.HIGHEST)
 
-    def inv3x3_cols(a, b, c, d, e, f, g, h, i):
-        """Componentwise adjugate inverse (same guard as inv3x3)."""
-        A = e * i - f * h
-        B = c * h - b * i
-        C = b * f - c * e
-        D = f * g - d * i
-        E = a * i - c * g
-        F = c * d - a * f
-        G = d * h - e * g
-        H = b * g - a * h
-        I = a * e - b * d
-        det = a * A + b * D + c * G
-        det = jnp.where(jnp.abs(det) < 1e-8, jnp.sign(det) * 1e-8 + 1e-12, det)
-        inv = 1.0 / det
-        return (A * inv, B * inv, C * inv, D * inv, E * inv, F * inv,
-                G * inv, H * inv, I * inv)
-
-    def mat_vec(m, v):
-        """9-component matrix tuple x 3-component vector tuple."""
-        m00, m01, m02, m10, m11, m12, m20, m21, m22 = m
-        v0, v1, v2 = v
-        return (m00 * v0 + m01 * v1 + m02 * v2,
-                m10 * v0 + m11 * v1 + m12 * v2,
-                m20 * v0 + m21 * v1 + m22 * v2)
-
-    def mat_mat(a, b):
-        a00, a01, a02, a10, a11, a12, a20, a21, a22 = a
-        b00, b01, b02, b10, b11, b12, b20, b21, b22 = b
-        return (
-            a00 * b00 + a01 * b10 + a02 * b20,
-            a00 * b01 + a01 * b11 + a02 * b21,
-            a00 * b02 + a01 * b12 + a02 * b22,
-            a10 * b00 + a11 * b10 + a12 * b20,
-            a10 * b01 + a11 * b11 + a12 * b21,
-            a10 * b02 + a11 * b12 + a12 * b22,
-            a20 * b00 + a21 * b10 + a22 * b20,
-            a20 * b01 + a21 * b11 + a22 * b21,
-            a20 * b02 + a21 * b12 + a22 * b22,
-        )
-
-    def vcols(v):
-        return (v[..., 0], v[..., 1], v[..., 2])
-
-    # --- Big pose -> T pose (inverse skinning).
     A_big, _ = transform_params(model, big_pose_params)
-    (b00, b01, b02, bt0, b10, b11, b12, bt1, b20, b21, b22, bt2) = blend_A(A_big)
-    R_inv = inv3x3_cols(b00, b01, b02, b10, b11, b12, b20, b21, b22)
-    q0, q1, q2 = vcols(query_pts)
-    x = mat_vec(R_inv, (q0 - bt0, q1 - bt1, q2 - bt2))
-    nrm = mat_vec(R_inv, vcols(normals))
-    transforms_c = R_inv
-    translation = mat_vec(R_inv, (-bt0, -bt1, -bt2))
-
-    # --- Blendshape corrections (mean_shape branch, always on in reference).
     big_rot_mats = rodrigues(big_pose_params["poses"].reshape(-1, 3))
-    po_big = vcols(_pose_offsets(model, big_rot_mats)[vert_ids])
-    x = tuple(xi - oi for xi, oi in zip(x, po_big))
-    translation = tuple(ti - oi for ti, oi in zip(translation, po_big))
-
-    shape_offset = vcols(jnp.einsum(
-        "vdb,b->vd", model.shapedirs, params["shapes"].reshape(-1),
-        precision=jax.lax.Precision.HIGHEST,
-    )[vert_ids])
-    x = tuple(xi + oi for xi, oi in zip(x, shape_offset))
-    translation = tuple(ti + oi for ti, oi in zip(translation, shape_offset))
-
     rot_mats = rodrigues(params["poses"].reshape(-1, 3))
     rot_mats = apply_correct_rs(rot_mats, correct_Rs)
-    po_tgt = vcols(_pose_offsets(model, rot_mats)[vert_ids])
-    x = tuple(xi + oi for xi, oi in zip(x, po_tgt))
-    translation = tuple(ti + oi for ti, oi in zip(translation, po_tgt))
-
-    # --- T pose -> target pose (forward skinning with corrected rotations).
     A_src, _ = transform_params(model, params, rot_mats=rot_mats)
-    (s00, s01, s02, st0, s10, s11, s12, st1, s20, s21, s22, st2) = blend_A(A_src)
-    R_src = (s00, s01, s02, s10, s11, s12, s20, s21, s22)
-    sp = mat_vec(R_src, x)
-    smpl_c = (sp[0] + st0, sp[1] + st1, sp[2] + st2)
-    nrm = mat_vec(R_src, nrm)
-    transforms_c = mat_mat(R_src, transforms_c)
-    tr = mat_vec(R_src, translation)
-    translation = (tr[0] + st0, tr[1] + st1, tr[2] + st2)
 
-    # --- SMPL space -> world (global rigid; R orthogonal so x@R^-1 == R x).
+    # Blendshape corrections (mean_shape branch, always on in the
+    # reference): -pose_offset(big) + shape_offset + pose_offset(target),
+    # combined at VERTEX level so a single gather serves all three.
+    shape_offset_v = jnp.einsum(
+        "vdb,b->vd", model.shapedirs, params["shapes"].reshape(-1),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    off_v = (-_pose_offsets(model, big_rot_mats) + shape_offset_v
+             + _pose_offsets(model, rot_mats))
+    off = off_v[vert_ids]                                     # [N, 3]
+
     Rg = params["R"]
     Rg_inv = inv3x3(Rg)
     Th = params["Th"].reshape(3)
+    scalars = jnp.zeros((1, 32), jnp.float32)
+    scalars = scalars.at[0, 0:9].set(Rg.reshape(-1))
+    scalars = scalars.at[0, 9:18].set(Rg_inv.reshape(-1))
+    scalars = scalars.at[0, 18:21].set(Th)
 
-    def apply_rg_inv(v):           # v @ Rg_inv + optional Th (componentwise)
-        v0, v1, v2 = v
-        return (
-            v0 * Rg_inv[0, 0] + v1 * Rg_inv[1, 0] + v2 * Rg_inv[2, 0],
-            v0 * Rg_inv[0, 1] + v1 * Rg_inv[1, 1] + v2 * Rg_inv[2, 1],
-            v0 * Rg_inv[0, 2] + v1 * Rg_inv[1, 2] + v2 * Rg_inv[2, 2],
-        )
+    packed = jnp.concatenate(
+        [query_pts.T, normals.T, off.T], axis=0)              # [9, N]
+    out = deform_rows(blend12(A_big), blend12(A_src), packed, scalars)
 
-    wp = apply_rg_inv(smpl_c)
-    wn = apply_rg_inv(nrm)
-    rg_c = (Rg[0, 0], Rg[0, 1], Rg[0, 2], Rg[1, 0], Rg[1, 1], Rg[1, 2],
-            Rg[2, 0], Rg[2, 1], Rg[2, 2])
-    transforms_c = mat_mat(rg_c, transforms_c)
-    tr = apply_rg_inv(translation)
-
-    def vstack(v):
-        return jnp.stack(v, axis=-1)
-
-    transforms = jnp.stack(
-        [jnp.stack(transforms_c[0:3], axis=-1),
-         jnp.stack(transforms_c[3:6], axis=-1),
-         jnp.stack(transforms_c[6:9], axis=-1)],
-        axis=-2,
-    )
     return DeformOutput(
-        smpl_pts=vstack(smpl_c),
-        world_pts=vstack(wp) + Th,
+        smpl_pts=out[0:3].T,
+        world_pts=out[3:6].T,
         bweights=bweights,
-        transforms=transforms,
-        translation=vstack(tr) + Th,
-        world_normals=vstack(wn),
+        transforms=out[6:15].T.reshape(N, 3, 3),
+        translation=out[15:18].T,
+        world_normals=out[18:21].T,
     )

@@ -351,6 +351,8 @@ def make_train_step(
         return ts, (mseq, n)
 
     step.chunk = chunk
+    step.jitted = _step          # exposed for AOT/introspection tooling
+    step.consts = consts
     return step
 
 

@@ -190,3 +190,54 @@ def test_positional_encoding_layout():
     np.testing.assert_allclose(pe[0, 3:6], np.sin([0.5, -0.25, 1.0]), atol=1e-6)
     np.testing.assert_allclose(pe[0, 6:9], np.cos([0.5, -0.25, 1.0]), atol=1e-6)
     np.testing.assert_allclose(pe[0, 9:12], np.sin([1.0, -0.5, 2.0]), atol=1e-6)
+
+
+class TestPallasDeformKernel:
+    """ops/pallas_deform.py: the Pallas deform chain vs its pure-jnp twin
+    (which is itself oracle-checked against the reference through the
+    tests above — the kernel is op-for-op the same math)."""
+
+    def _inputs(self, N=256, seed=0):
+        rng = np.random.RandomState(seed)
+        abig = jnp.asarray(rng.randn(12, N).astype(np.float32))
+        # make the 3x3 blocks well-conditioned (near identity + noise)
+        eye = np.zeros((12, 1), np.float32)
+        eye[[0, 5, 10]] = 1.0
+        abig = abig * 0.1 + jnp.asarray(eye)
+        asrc = jnp.asarray(rng.randn(12, N).astype(np.float32)) * 0.1 \
+            + jnp.asarray(eye)
+        packed = jnp.asarray(rng.randn(9, N).astype(np.float32))
+        rg = np.linalg.qr(rng.randn(3, 3))[0].astype(np.float32)
+        sc = np.zeros((1, 32), np.float32)
+        sc[0, 0:9] = rg.reshape(-1)
+        sc[0, 9:18] = np.linalg.inv(rg).reshape(-1)
+        sc[0, 18:21] = rng.randn(3)
+        return abig, asrc, packed, jnp.asarray(sc)
+
+    def test_interpret_matches_jnp(self):
+        from mygauhuman_tpu.ops.pallas_deform import deform_rows
+
+        args = self._inputs()
+        ref = deform_rows(*args, "jnp")
+        got = deform_rows(*args, "interpret")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_gradients_flow(self):
+        from mygauhuman_tpu.ops.pallas_deform import deform_rows
+
+        args = self._inputs(N=128)
+
+        def loss(abig, asrc, packed):
+            out = deform_rows(abig, asrc, packed, args[3], "interpret")
+            return jnp.sum(out ** 2)
+
+        g = jax.grad(loss, argnums=(0, 1, 2))(*args[:3])
+        ref = jax.grad(
+            lambda a, b, p: jnp.sum(
+                deform_rows(a, b, p, args[3], "jnp") ** 2),
+            argnums=(0, 1, 2))(*args[:3])
+        for gi, ri in zip(g, ref):
+            assert float(jnp.sum(jnp.abs(gi))) > 0
+            np.testing.assert_allclose(np.asarray(gi), np.asarray(ri),
+                                       rtol=1e-5, atol=1e-5)
