@@ -391,6 +391,8 @@ def make_pbr_train_step(
         return ts, pbr_state, (mseq, n)
 
     step.chunk = chunk
+    step.jitted = _step          # exposed for AOT/introspection tooling
+    step.consts = consts
     return step
 
 
