@@ -338,6 +338,29 @@ class TestPrecompile:
         assert not os.path.exists(os.path.join(out, "point_cloud_1200.ply"))
         assert not os.path.exists(os.path.join(out, "smpl_rot_1200.npz"))
 
+    def test_precompile_walks_capacity_ladder(self, tmp_path, capsys):
+        """An AUTO-capacity run doubles capacity during densification, and
+        the step/densify/eval programs retrace per capacity — the warmer
+        must visit every rung up to --precompile_max_cap, not just the
+        initial capacity (the single-capacity warmup missed ~145 s of
+        in-loop compiles, PERF.md cold-start section)."""
+        from mygauhuman_tpu.cli.train import main as train_main
+
+        out = str(tmp_path / "exp_ladder")
+        res = train_main([
+            "--synthetic", "--synthetic_size", "48",
+            "--synthetic_verts", "100",
+            "--iterations", "600",
+            "--test_iterations", "600", "--save_iterations", "600",
+            "--model_path", out, "--skip_galleries", "--disable_lpips",
+            "--precompile", "--precompile_max_cap", "2048",
+        ])
+        assert res["precompiled"] is True
+        outtxt = capsys.readouterr().out
+        # synthetic auto-capacity floor is 1024; ladder = 1024, 2048
+        assert "precompile: capacity 1024" in outtxt
+        assert "precompile: capacity 2048" in outtxt
+
 
 class TestEvalCacheVersioning:
     def test_rejects_unversioned_cache(self, tmp_path):
