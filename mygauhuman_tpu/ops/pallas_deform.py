@@ -150,10 +150,18 @@ def _deform_rows_pallas(abig, asrc, packed, scalars, *, block: int = 4096,
                         interpret: bool = False):
     N = abig.shape[1]
     B = min(block, N)
-    assert N % B == 0, (N, B)
-    return pl.pallas_call(
+    # The math is lane-independent, so a non-multiple N (e.g. the serving
+    # path's compacted capacities, which are multiples of 128 but not of
+    # the block) is handled by edge-padding the lane axis and slicing the
+    # result — edge values keep the padded lanes on the same numeric path
+    # as real ones (no 0-matrix inversions).
+    Np = -(-N // B) * B
+    if Np != N:
+        pad = lambda a: jnp.pad(a, ((0, 0), (0, Np - N)), mode="edge")
+        abig, asrc, packed = pad(abig), pad(asrc), pad(packed)
+    out = pl.pallas_call(
         _kernel,
-        grid=(N // B,),
+        grid=(Np // B,),
         in_specs=[
             pl.BlockSpec((12, B), lambda i: (0, i)),
             pl.BlockSpec((12, B), lambda i: (0, i)),
@@ -161,9 +169,10 @@ def _deform_rows_pallas(abig, asrc, packed, scalars, *, block: int = 4096,
             pl.BlockSpec((1, 32), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((21, B), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((21, N), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((21, Np), jnp.float32),
         interpret=interpret,
     )(abig, asrc, packed, scalars)
+    return out[:, :N] if Np != N else out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))

@@ -241,3 +241,18 @@ class TestPallasDeformKernel:
             assert float(jnp.sum(jnp.abs(gi))) > 0
             np.testing.assert_allclose(np.asarray(gi), np.asarray(ri),
                                        rtol=1e-5, atol=1e-5)
+
+    def test_non_multiple_block_pads(self):
+        """Serving-path capacities are multiples of 128 but not of the
+        kernel block (cli/render's compact_state hit B=4096 with
+        N=42,496); the wrapper must pad the lane axis and slice back."""
+        from mygauhuman_tpu.ops.pallas_deform import (
+            _deform_rows_pallas, deform_rows,
+        )
+
+        args = self._inputs(N=320)   # 320 % 128 = 64: forces the pad path
+        ref = deform_rows(*args, "jnp")
+        got = _deform_rows_pallas(*args, block=128, interpret=True)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
