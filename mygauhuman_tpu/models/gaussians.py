@@ -294,7 +294,9 @@ def compact_state(state: GaussianState, capacity: int | None = None,
     alive = np.asarray(jax.device_get(state.alive))
     idx = np.nonzero(alive)[0]
     n = int(idx.size)
-    cap = capacity or max(multiple, -(-n // multiple) * multiple)
+    # explicit capacities are rounded UP to `multiple` too: the TPU kernels
+    # assume lane-aligned capacities (the Pallas KNN grids 128-query blocks)
+    cap = max(multiple, -(-(capacity or n) // multiple) * multiple)
     assert cap >= n, (cap, n)
 
     fills = {"scaling": -10.0, "opacity": -10.0}
